@@ -1,0 +1,165 @@
+"""Training state + step: optax optimizer, LR schedules, EMA, masked losses.
+
+Replaces the reference's torch engine (reference: train.py:692-849):
+  * optimizer by name w/ Adam params (reference: train.py:1083-1085)
+  * per-step LR schedule (reference: train.py:712-718)
+  * optional global-norm grad clip (``clip_thresh``, reference: train.py:759-763)
+  * EMA shadow params updated post-step (reference: train.py:322-343, 765-768)
+  * the autoregressive one-sample shift: predict y[t+1] from x[<=t]
+    (reference: train.py:728-729, 742-748)
+
+The train step is a pure function (state, batch, rng) -> (state, metrics),
+jitted once; under a Mesh with a sharded batch XLA inserts the psum gradient
+all-reduce automatically (replacing torch DataParallel,
+reference: train.py:676-689).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from wavenet_vocoder_tpu.config import Config
+from wavenet_vocoder_tpu.models.wavenet import (
+    WaveNetSpec,
+    apply_wavenet,
+    init_wavenet,
+    spec_from_config,
+)
+from wavenet_vocoder_tpu.ops.losses import (
+    masked_cross_entropy,
+    masked_gaussian_loss,
+    masked_mol_loss,
+    sequence_mask,
+)
+from wavenet_vocoder_tpu.training.lrschedule import make_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def make_optimizer(cfg: Config):
+    """Adam(+clip) with the config's schedule (reference: train.py:1083-1085;
+    clip: train.py:759-763)."""
+    opt_params = dict(cfg.optimizer_params)
+    init_lr = float(opt_params.get("lr", 1e-3))
+    eps = float(opt_params.get("eps", 1e-8))
+    weight_decay = float(opt_params.get("weight_decay", 0.0))
+    betas = opt_params.get("betas", (0.9, 0.999))
+    schedule = make_schedule(cfg.lr_schedule, init_lr,
+                             dict(cfg.lr_schedule_kwargs))
+
+    if cfg.optimizer.lower() not in ("adam", "adamw"):
+        raise ValueError(f"Unsupported optimizer: {cfg.optimizer!r}")
+    if weight_decay > 0.0 or cfg.optimizer.lower() == "adamw":
+        core = optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=weight_decay)
+    else:
+        core = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+
+    chain = []
+    if cfg.clip_thresh > 0:
+        chain.append(optax.clip_by_global_norm(float(cfg.clip_thresh)))
+    chain.append(core)
+    return optax.chain(*chain), schedule
+
+
+def create_train_state(cfg: Config, rng=None,
+                       spec: Optional[WaveNetSpec] = None) -> TrainState:
+    """build_model + optimizer + EMA registration
+    (reference: train.py:887-918, 793-799)."""
+    spec = spec or spec_from_config(cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    params = init_wavenet(rng, spec)
+    tx, _ = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    ema = jax.tree.map(jnp.copy, params) if cfg.exponential_moving_average else None
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state, ema_params=ema)
+
+
+def select_criterion(cfg: Config):
+    """Loss by input_type / output_distribution (reference: train.py:781-791)."""
+    if cfg.is_mulaw_quantize:
+        return lambda y_hat, y, mask: masked_cross_entropy(y_hat, y, mask)
+    if cfg.output_distribution == "Logistic":
+        return lambda y_hat, y, mask: masked_mol_loss(
+            y_hat, y, mask, num_classes=cfg.quantize_channels,
+            log_scale_min=cfg.log_scale_min)
+    if cfg.output_distribution == "Normal":
+        return lambda y_hat, y, mask: masked_gaussian_loss(
+            y_hat, y, mask, log_scale_min=cfg.log_scale_min)
+    raise ValueError(
+        f"Not supported: input_type={cfg.input_type}, "
+        f"output_distribution={cfg.output_distribution} "
+        "(reference: train.py:781-791)")
+
+
+def ema_update(ema, params, decay: float):
+    """shadow -= (1 - decay) * (shadow - param) (reference: train.py:329-333)."""
+    return jax.tree.map(lambda s, p: s - (1.0 - decay) * (s - p), ema, params)
+
+
+def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None):
+    """Build the jitted (state, batch, rng) -> (state, metrics) step.
+
+    batch dict:
+      x: (B, T, C_in) model input (one-hot or scalar)
+      y: (B, T) int targets (categorical) or (B, T, 1) float targets
+      c: (B, T_mel, C) local conditioning or None
+      g: (B,) / (B, gin) global conditioning or None
+      input_lengths: (B,) valid lengths of x
+    """
+    spec = spec or spec_from_config(cfg)
+    tx, schedule = make_optimizer(cfg)
+    criterion = select_criterion(cfg)
+    dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+    ema_decay = cfg.ema_decay
+    use_ema = cfg.exponential_moving_average
+
+    def loss_fn(params, batch, rng):
+        y_hat = apply_wavenet(
+            params, spec, batch["x"], c=batch.get("c"), g=batch.get("g"),
+            train=True, rng=rng, dtype=dtype)
+        T = batch["x"].shape[1]
+        # one-sample AR shift (reference: train.py:728-729, 742-748)
+        mask = sequence_mask(batch["input_lengths"], T)[:, 1:]
+        return criterion(y_hat[:, :-1], _shift_targets(batch["y"]), mask)
+
+    def _shift_targets(y):
+        return y[:, 1:]
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, Any], rng
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (ema_update(state.ema_params, new_params, ema_decay)
+                   if use_ema else None)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "lr": schedule(state.step),
+        }
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt_state, ema_params=new_ema), metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, Any], rng
+                  ) -> Dict[str, jnp.ndarray]:
+        """Dev-set loss with the same criterion, no update
+        (reference: train.py:802-849 dev phase)."""
+        loss = loss_fn(state.params, batch, rng)
+        return {"loss": loss}
+
+    return train_step, eval_step
