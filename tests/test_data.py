@@ -1,0 +1,209 @@
+"""Data pipeline tests: preprocessing -> manifest -> dataset -> sampler ->
+collate, end to end on synthetic wavs (reference behaviors:
+preprocess.py, wavallin.py, train.py:158-304, 408-535)."""
+import os
+
+import numpy as np
+import pytest
+
+from wavenet_vocoder_tpu.config import Config
+from wavenet_vocoder_tpu.data import (
+    DataLoader,
+    LengthBucketSampler,
+    WaveNetDataset,
+    collate_fn,
+    ensure_divisible,
+    parse_manifest,
+)
+from wavenet_vocoder_tpu.data.mksubset import mksubset, split_files
+from wavenet_vocoder_tpu.data.normalize import (
+    StreamingStandardScaler,
+    compute_meanvar_stats,
+    normalize_dir,
+)
+from wavenet_vocoder_tpu.data.preprocess import preprocess
+from wavenet_vocoder_tpu.dsp import audio
+
+
+CFG = Config(input_type="mulaw-quantize", quantize_channels=256,
+             out_channels=256, sample_rate=16000, fft_size=512, hop_size=128,
+             win_length=512, num_mels=20, fmin=60, fmax=7600,
+             cin_channels=20, cin_pad=2, max_time_steps=1280,
+             upsample_conditional_features=True,
+             upsample_params={"upsample_scales": [4, 4, 8]})
+
+
+def _make_wavs(d, n=4, seconds=1.0, sr=16000, seed=0):
+    # write int16 directly at moderate amplitude — audio.save_wav would
+    # peak-normalize to full scale and FIR ripple would then trip the
+    # (faithful) clipped-utterance rejection (reference: wavallin.py:73-76)
+    from scipy.io import wavfile
+    rs = np.random.RandomState(seed)
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        t = np.arange(int(sr * seconds) + i * 500) / sr
+        f0 = 200 + 100 * i
+        x = 0.5 * np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        x += 0.01 * rs.randn(len(t)).astype(np.float32)
+        wavfile.write(os.path.join(d, f"utt{i:02d}.wav"), sr,
+                      (x * 20000).astype(np.int16))
+
+
+@pytest.fixture(scope="module")
+def dump_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    wav_dir = str(root / "wavs")
+    out_dir = str(root / "dump")
+    _make_wavs(wav_dir)
+    preprocess("wavallin", wav_dir, out_dir, CFG, num_workers=1)
+    return out_dir
+
+
+def test_preprocess_outputs(dump_dir):
+    files = os.listdir(dump_dir)
+    waves = [f for f in files if f.endswith("-wave.npy")]
+    feats = [f for f in files if f.endswith("-feats.npy")]
+    assert len(waves) == 4 and len(feats) == 4
+    assert "train.txt" in files
+    # hop-divisibility invariant (reference: wavallin.py:96-100)
+    for w in waves:
+        x = np.load(os.path.join(dump_dir, w))
+        assert len(x) % CFG.hop_size == 0
+        f = w.replace("-wave.npy", "-feats.npy")
+        mel = np.load(os.path.join(dump_dir, f))
+        assert mel.shape[1] == CFG.num_mels
+        assert len(x) == mel.shape[0] * CFG.hop_size
+    # mu-law codes in range
+    assert x.min() >= 0 and x.max() <= 255
+
+
+def test_manifest_roundtrip(dump_dir):
+    utts = parse_manifest(os.path.join(dump_dir, "train.txt"))
+    assert len(utts) == 4
+    assert all(u.n_frames > 0 for u in utts)
+    assert utts[0].speaker_id is None
+
+
+def test_dataset_and_min_length_filter(dump_dir):
+    ds = WaveNetDataset(dump_dir, CFG)
+    assert len(ds) == 4  # all 1s+ utterances are long enough
+    wave, mel, g = ds[0]
+    assert wave.ndim == 1 and mel.ndim == 2 and g is None
+
+    # absurd max_time_steps filters everything -> error
+    cfg_big = CFG.replace(max_time_steps=10 ** 7)
+    with pytest.raises(ValueError):
+        WaveNetDataset(dump_dir, cfg_big)
+
+
+def test_length_bucket_sampler_is_permutation():
+    lengths = np.random.RandomState(0).randint(50, 200, 37)
+    sampler = LengthBucketSampler(lengths, batch_size=4, drop_last=True)
+    seen = np.concatenate(list(iter(sampler)))
+    assert len(seen) == (37 // 4) * 4
+    assert len(np.unique(seen)) == len(seen)
+    # similar lengths are batched together (bucketing effect):
+    # average within-batch length spread far below global spread
+    spreads = [lengths[b].max() - lengths[b].min() for b in iter(sampler)]
+    assert np.mean(spreads) < (lengths.max() - lengths.min()) * 0.8
+
+
+def test_collate_static_shapes(dump_dir):
+    ds = WaveNetDataset(dump_dir, CFG)
+    items = [ds[i] for i in range(3)]
+    rng = np.random.RandomState(0)
+    batch = collate_fn(items, CFG, rng=rng)
+    T = ensure_divisible(CFG.max_time_steps, CFG.hop_size, True)
+    assert batch["x"].shape == (3, T, 256)
+    assert batch["y"].shape == (3, T)
+    assert batch["y"].dtype == np.int32
+    # mel window includes +/- cin_pad context (reference: train.py:447-461)
+    assert batch["c"].shape == (3, T // CFG.hop_size + 2 * CFG.cin_pad, 20)
+    assert batch["input_lengths"].tolist() == [T, T, T]
+    # one-hot rows
+    np.testing.assert_allclose(batch["x"].sum(-1), 1.0)
+    # y matches argmax of x
+    np.testing.assert_array_equal(batch["y"], batch["x"].argmax(-1))
+    # repeated collate crops differently (random crop)
+    b2 = collate_fn(items, CFG, rng=np.random.RandomState(1))
+    assert not np.array_equal(batch["y"], b2["y"])
+
+
+def test_collate_scalar_input(dump_dir):
+    cfg = CFG.replace(input_type="raw", quantize_channels=65536,
+                      out_channels=30)
+    # re-preprocess raw
+    wav_dir = os.path.join(os.path.dirname(dump_dir), "wavs")
+    out_dir = os.path.join(os.path.dirname(dump_dir), "dump_raw")
+    preprocess("wavallin", wav_dir, out_dir, cfg, num_workers=1)
+    ds = WaveNetDataset(out_dir, cfg)
+    batch = collate_fn([ds[0], ds[1]], cfg, rng=np.random.RandomState(0))
+    T = ensure_divisible(cfg.max_time_steps, cfg.hop_size, True)
+    assert batch["x"].shape == (2, T, 1)
+    assert batch["y"].shape == (2, T, 1)
+    assert batch["y"].dtype == np.float32
+    assert np.abs(batch["x"]).max() <= 1.0
+
+
+def test_dataloader_yields_batches(dump_dir):
+    ds = WaveNetDataset(dump_dir, CFG)
+    dl = DataLoader(ds, CFG, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(iter(dl))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["x"].shape[0] == 2
+
+
+def test_streaming_scaler_matches_numpy():
+    rs = np.random.RandomState(0)
+    xs = [rs.randn(50, 8) * 3 + 1, rs.randn(30, 8) * 0.5 - 2]
+    s = StreamingStandardScaler()
+    for x in xs:
+        s.partial_fit(x)
+    allx = np.concatenate(xs)
+    np.testing.assert_allclose(s.mean, allx.mean(0), atol=1e-8)
+    np.testing.assert_allclose(s.var, allx.var(0), atol=1e-8)
+    z = s.transform(allx)
+    np.testing.assert_allclose(z.mean(0), 0, atol=1e-5)
+    np.testing.assert_allclose(z.std(0), 1, atol=1e-4)
+    np.testing.assert_allclose(s.inverse_transform(z), allx, atol=1e-4)
+
+
+def test_normalize_dir_roundtrip(dump_dir, tmp_path):
+    from glob import glob
+    feats = sorted(glob(os.path.join(dump_dir, "*-feats.npy")))
+    scaler_path = str(tmp_path / "meanvar.npz")
+    compute_meanvar_stats(feats, scaler_path)
+    norm_dir = str(tmp_path / "norm")
+    normalize_dir(dump_dir, norm_dir, scaler_path, num_workers=1)
+    assert os.path.exists(os.path.join(norm_dir, "train.txt"))
+    normed = sorted(glob(os.path.join(norm_dir, "*-feats.npy")))
+    assert len(normed) == len(feats)
+    allz = np.concatenate([np.load(p) for p in normed])
+    np.testing.assert_allclose(allz.mean(0), 0, atol=1e-3)
+    # inverse restores originals
+    inv_dir = str(tmp_path / "denorm")
+    normalize_dir(norm_dir, inv_dir, scaler_path, inverse=True, num_workers=1)
+    for p in feats:
+        orig = np.load(p)
+        back = np.load(os.path.join(inv_dir, os.path.basename(p)))
+        np.testing.assert_allclose(orig, back, atol=1e-3)
+
+
+def test_split_files():
+    files = [f"f{i}" for i in range(20)]
+    tr, dev, ev = split_files(files, 0.1, 0.1)
+    assert len(dev) == 2 and len(ev) == 2 and len(tr) == 16
+    assert set(tr) | set(dev) | set(ev) == set(files)
+    tr2, dev2, ev2 = split_files(files, 3, 2)
+    assert dev2 == ["f15", "f16", "f17"] and ev2 == ["f18", "f19"]
+
+
+def test_mksubset(tmp_path):
+    wav_dir = str(tmp_path / "w")
+    _make_wavs(wav_dir, n=6, seconds=0.3)
+    out = str(tmp_path / "subset")
+    stats = mksubset(wav_dir, out, dev_size=1, test_size=1)
+    assert stats["n_train"] == 4 and stats["n_dev"] == 1 and stats["n_eval"] == 1
+    assert os.path.isdir(os.path.join(out, "train_no_dev"))
+    assert len(os.listdir(os.path.join(out, "dev"))) == 1
