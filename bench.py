@@ -1,0 +1,85 @@
+"""Benchmark: batched autoregressive synthesis throughput on one chip.
+
+Metric (BASELINE.json): generated audio-seconds per wall-second per chip for
+the flagship 24-layer MoL WaveNet (reference default scale, hparams.py:58-65).
+Baseline = 1.0x real-time per chip (the reference's stated target; its own
+Python loop runs far below real time — ~125 host-dispatched GEMVs per sample,
+reference: wavenet.py:296-336).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.models.wavenet import init_wavenet, spec_from_config
+    from wavenet_vocoder_tpu.ops.generate import generate
+    from wavenet_vocoder_tpu.synthesis import pad_mel_context
+
+    cfg = Config()  # flagship MoL: 24 layers, 128/256/128, 80-mel upsampled
+    spec = spec_from_config(cfg)
+    params = init_wavenet(jax.random.PRNGKey(0), spec)
+
+    B = int(os.environ.get("BENCH_BATCH", 8))
+    seconds = float(os.environ.get("BENCH_SECONDS", 1.0))
+    hop = cfg.hop_size
+    frames = int(seconds * cfg.sample_rate) // hop
+    T = frames * hop
+
+    rs = np.random.RandomState(0)
+    mel = rs.randn(B, frames, cfg.num_mels).astype(np.float32)
+    c = jnp.asarray(pad_mel_context(mel, cfg.cin_pad))
+
+    def run(key):
+        out = generate(params, spec, key, c=c, output="samples",
+                       log_scale_min=cfg.log_scale_min)
+        return out["samples"]
+
+    # compile + warm up
+    run(jax.random.PRNGKey(0)).block_until_ready()
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 3))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        run(jax.random.PRNGKey(i + 1)).block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    audio_seconds = B * T / cfg.sample_rate
+    value = audio_seconds / dt
+    baseline = 1.0  # 1x real-time per chip
+    print(json.dumps({
+        "metric": "batched_synthesis_audio_sec_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(value / baseline, 4),
+        "detail": {
+            "batch": B, "samples_per_utt": T,
+            "samples_per_sec": round(B * T / dt, 1),
+            "wall_s_per_iter": round(dt, 3),
+            "model": "24L/4S MoL 128/256/128",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

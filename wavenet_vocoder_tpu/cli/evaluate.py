@@ -1,0 +1,95 @@
+"""Batch evaluation CLI: synthesize a dump directory (reference: evaluate.py).
+
+    python -m wavenet_vocoder_tpu.cli.evaluate DUMP_DIR CHECKPOINT OUT_DIR \
+        [--preset JSON] [--hparams "k=v"] [--num-utterances N] \
+        [--batch-size N] [--speaker-id N] [--seed N]
+
+Writes paired {name}_gen.wav / {name}_ref.wav (reference: evaluate.py:208-253);
+mel-only dirs (no *-wave.npy) synthesize from features alone
+(reference: evaluate.py:51-78 dummy_collate).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+import jax
+import numpy as np
+
+from wavenet_vocoder_tpu.cli.synthesis import load_params_and_config
+from wavenet_vocoder_tpu.dsp import audio
+from wavenet_vocoder_tpu.models.wavenet import spec_from_config
+from wavenet_vocoder_tpu.ops.mulaw import inv_mulaw, inv_mulaw_quantize
+from wavenet_vocoder_tpu.synthesis import batch_wavegen, pad_mel_context
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("dump_dir")
+    p.add_argument("checkpoint")
+    p.add_argument("out_dir")
+    p.add_argument("--preset", default=None)
+    p.add_argument("--hparams", default="")
+    p.add_argument("--num-utterances", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--speaker-id", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    params, cfg, step = load_params_and_config(
+        args.checkpoint, args.preset, args.hparams)
+    spec = spec_from_config(cfg)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    feats = sorted(glob(os.path.join(args.dump_dir, "*-feats.npy")))
+    if args.num_utterances:
+        feats = feats[:args.num_utterances]
+    if not feats:
+        raise SystemExit(f"No *-feats.npy under {args.dump_dir}")
+    batch_size = args.batch_size or 8
+    hop = audio.get_hop_size(cfg)
+    mu = cfg.quantize_channels - 1
+    rng = jax.random.PRNGKey(args.seed)
+
+    for i in range(0, len(feats), batch_size):
+        chunk = feats[i:i + batch_size]
+        mels = [np.load(f) for f in chunk]
+        max_len = max(m.shape[0] for m in mels)
+        c = np.zeros((len(mels), max_len, mels[0].shape[1]), np.float32)
+        for j, m in enumerate(mels):
+            c[j, :m.shape[0]] = m
+            if m.shape[0] < max_len:  # replicate-pad ragged tails
+                c[j, m.shape[0]:] = m[-1]
+        c = pad_mel_context(c, cfg.cin_pad)
+        g = (np.full(len(mels), args.speaker_id, np.int32)
+             if args.speaker_id is not None else None)
+        wavs = batch_wavegen(params, cfg, spec=spec, c=c, g=g,
+                             rng=jax.random.fold_in(rng, i))
+        for j, fpath in enumerate(chunk):
+            name = os.path.basename(fpath).replace("-feats.npy", "")
+            T_j = mels[j].shape[0] * hop
+            audio.save_wav(wavs[j][:T_j],
+                           os.path.join(args.out_dir, f"{name}_gen.wav"),
+                           cfg.sample_rate)
+            # reference target decode (reference: evaluate.py:223-253)
+            wave_path = fpath.replace("-feats.npy", "-wave.npy")
+            if os.path.exists(wave_path):
+                y = np.load(wave_path)
+                if cfg.is_mulaw_quantize:
+                    ref = np.asarray(inv_mulaw_quantize(y, mu))
+                elif cfg.input_type == "mulaw":
+                    ref = np.asarray(inv_mulaw(y, mu))
+                else:
+                    ref = y
+                if cfg.postprocess not in (None, "", "none"):
+                    ref = getattr(audio, cfg.postprocess)(ref)
+                if cfg.global_gain_scale > 0:
+                    ref = ref / cfg.global_gain_scale
+                audio.save_wav(ref, os.path.join(
+                    args.out_dir, f"{name}_ref.wav"), cfg.sample_rate)
+        print(f"[{min(i + batch_size, len(feats))}/{len(feats)}] done")
+
+
+if __name__ == "__main__":
+    main()

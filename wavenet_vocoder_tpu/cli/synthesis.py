@@ -1,0 +1,57 @@
+"""Single-utterance synthesis CLI (reference: synthesis.py docopt usage).
+
+    python -m wavenet_vocoder_tpu.cli.synthesis CHECKPOINT MEL_NPY DST_WAV \
+        [--preset JSON] [--hparams "k=v"] [--speaker-id N] [--seed N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from wavenet_vocoder_tpu.config import Config, load_config
+from wavenet_vocoder_tpu.dsp import audio
+from wavenet_vocoder_tpu.synthesis import wavegen
+
+
+def load_params_and_config(checkpoint_path: str, preset, hparams_str):
+    """Load checkpoint params + config, auto-discovering hparams.json next to
+    the checkpoint when no preset is given (reference: evaluate.py:116-127)."""
+    if preset is None:
+        cand = os.path.join(os.path.dirname(checkpoint_path), "hparams.json")
+        if os.path.exists(cand):
+            preset = cand
+    cfg = load_config(preset, hparams_str)
+    with open(checkpoint_path, "rb") as f:
+        payload = pickle.load(f)
+    params = payload["params"] if "params" in payload else payload
+    return params, cfg, payload.get("global_step", 0)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint")
+    p.add_argument("mel", help="(T, D) mel-spectrogram .npy")
+    p.add_argument("dst_wav")
+    p.add_argument("--preset", default=None)
+    p.add_argument("--hparams", default="")
+    p.add_argument("--speaker-id", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    params, cfg, step = load_params_and_config(
+        args.checkpoint, args.preset, args.hparams)
+    c = np.load(args.mel)
+    print(f"Synthesizing {c.shape[0]} mel frames with step-{step} model...")
+    wav = wavegen(params, cfg, c=c, g=args.speaker_id,
+                  rng=jax.random.PRNGKey(args.seed))
+    audio.save_wav(wav, args.dst_wav, cfg.sample_rate)
+    print(f"Wrote {args.dst_wav} ({len(wav) / cfg.sample_rate:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

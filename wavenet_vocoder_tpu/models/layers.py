@@ -87,31 +87,27 @@ def remove_weight_norm(p: Params) -> Params:
     return out
 
 
-def conv1x1(p: Params, x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
-    """1x1 conv == matmul over the channel axis. x: (..., In) -> (..., Out)."""
-    w = conv_kernel(p)[0]  # (In, Out)
-    if dtype is not None:
-        w = w.astype(dtype)
-        x = x.astype(dtype)
+def conv1x1(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv == matmul over the channel axis. x: (..., In) -> (..., Out).
+
+    The kernel follows x's dtype (bf16 compute casts weights on the fly; f32
+    masters stay in the param pytree)."""
+    w = conv_kernel(p)[0].astype(x.dtype)  # (In, Out)
     y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
 
 
-def causal_conv(p: Params, x: jnp.ndarray, dilation: int = 1, *,
-                dtype=None) -> jnp.ndarray:
+def causal_conv(p: Params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     """Causal dilated 1D conv, channels-last.
 
     x: (B, T, In) -> (B, T, Out). Left-pads (k-1)*dilation so output[t]
     depends only on input[<=t] (reference pads both sides then trims,
     modules.py:81-85, 136 — same math, fewer FLOPs).
     """
-    w = conv_kernel(p)  # (K, In, Out)
+    w = conv_kernel(p).astype(x.dtype)  # (K, In, Out)
     k = w.shape[0]
-    if dtype is not None:
-        w = w.astype(dtype)
-        x = x.astype(dtype)
     pad = (k - 1) * dilation
     y = jax.lax.conv_general_dilated(
         x, w,
@@ -134,7 +130,7 @@ def conv_step(p: Params, taps: jnp.ndarray) -> jnp.ndarray:
     linearized-weight ``F.linear`` trick (reference: conv.py:45, 51-62),
     but expressed as a (B, K*In) x (K*In, Out) matmul for the MXU.
     """
-    w = conv_kernel(p)  # (K, In, Out)
+    w = conv_kernel(p).astype(taps.dtype)  # (K, In, Out)
     k, cin, cout = w.shape
     b_sz = taps.shape[0]
     y = jnp.dot(taps.reshape(b_sz, k * cin), w.reshape(k * cin, cout),

@@ -1,0 +1,144 @@
+"""Waveform synthesis library (reference: synthesis.py:42-188).
+
+``batch_wavegen`` / ``wavegen`` generate waveforms from mel features with a
+trained model, then apply the inverse transforms: inverse mu-law, optional
+time-domain postprocess (e.g. inv_preemphasis), and gain unscaling
+(reference: synthesis.py:66-86, 175-188).
+
+TPU notes:
+  * generation runs as the single jitted scan (ops/generate.py); ``fast=True``
+    folds weight norm first (the reference's make_generation_fast_,
+    synthesis.py:48-49).
+  * pass a Mesh to shard independent utterances across chips — zero
+    inter-chip communication (SURVEY.md section 5.8).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavenet_vocoder_tpu.config import Config
+from wavenet_vocoder_tpu.dsp import audio
+from wavenet_vocoder_tpu.models.wavenet import WaveNetSpec, spec_from_config
+from wavenet_vocoder_tpu.ops.generate import generate
+from wavenet_vocoder_tpu.ops.mulaw import inv_mulaw, inv_mulaw_quantize
+
+Params = Dict[str, Any]
+
+
+def pad_mel_context(c: np.ndarray, cin_pad: int) -> np.ndarray:
+    """Replicate-pad mel by cin_pad frames on both ends at inference — the
+    conditioning context the training crop provided from neighboring frames
+    (reference: evaluate.py:163-164)."""
+    if cin_pad <= 0:
+        return c
+    return np.concatenate([
+        np.repeat(c[:, :1], cin_pad, axis=1),
+        c,
+        np.repeat(c[:, -1:], cin_pad, axis=1),
+    ], axis=1)
+
+
+def _decode(cfg: Config, samples: jnp.ndarray) -> np.ndarray:
+    """Head samples -> float waveform (B, T)
+    (reference: synthesis.py:66-86)."""
+    mu = cfg.quantize_channels - 1
+    if cfg.is_mulaw_quantize:
+        codes = np.argmax(np.asarray(samples), axis=-1)  # (B, T)
+        wav = np.asarray(inv_mulaw_quantize(codes, mu), dtype=np.float64)
+    elif cfg.input_type == "mulaw":
+        wav = np.asarray(inv_mulaw(np.asarray(samples)[..., 0], mu))
+    else:
+        wav = np.asarray(samples)[..., 0]
+
+    if cfg.postprocess not in (None, "", "none"):
+        wav = np.stack([getattr(audio, cfg.postprocess)(w) for w in wav])
+    if cfg.global_gain_scale > 0:
+        wav = wav / cfg.global_gain_scale
+    return wav.astype(np.float32)
+
+
+def batch_wavegen(params: Params, cfg: Config, *,
+                  spec: Optional[WaveNetSpec] = None,
+                  c: Optional[np.ndarray] = None,
+                  g: Optional[np.ndarray] = None,
+                  T: Optional[int] = None,
+                  rng=None, fast: bool = True,
+                  mesh=None) -> np.ndarray:
+    """Generate a batch of waveforms (reference: synthesis.py:42-86).
+
+    Args:
+      c: (B, T_mel, D) mel features ALREADY including cin_pad context frames
+         (use :func:`pad_mel_context`); length = (T_mel - 2*cin_pad) * hop
+         (reference: synthesis.py:55-57).
+      g: (B,) speaker ids or (B, gin) float conditioning.
+      T: explicit sample count when unconditional.
+      mesh: optional jax Mesh — utterances shard over its 'data' axis.
+    Returns (B, T) float32 waveforms.
+    """
+    spec = spec or spec_from_config(cfg)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if c is not None and T is None:
+        hop = audio.get_hop_size(cfg)
+        T = (c.shape[1] - 2 * cfg.cin_pad) * hop
+
+    if mesh is not None:
+        from wavenet_vocoder_tpu.parallel import replicate, shard_batch
+        params = replicate(params, mesh)
+        if c is not None:
+            c = shard_batch(jnp.asarray(c, jnp.float32), mesh)
+        if g is not None:
+            g = shard_batch(jnp.asarray(g), mesh)
+    else:
+        if c is not None:
+            c = jnp.asarray(c, jnp.float32)
+        if g is not None:
+            g = jnp.asarray(g)
+
+    out = generate(params, spec, rng, T=T, c=c, g=g,
+                   softmax=True, quantize=True,
+                   log_scale_min=cfg.log_scale_min,
+                   output="samples", fold_weight_norm=fast)
+    return _decode(cfg, out["samples"])
+
+
+def wavegen(params: Params, cfg: Config, *,
+            spec: Optional[WaveNetSpec] = None,
+            length: Optional[int] = None,
+            c: Optional[np.ndarray] = None,
+            g: Optional[Any] = None,
+            rng=None, fast: bool = True) -> np.ndarray:
+    """Single-utterance generation (reference: synthesis.py:101-188).
+
+    c: (T_mel, D) mel (WITHOUT cin_pad context — it is added here), or
+       sample-resolution features when no upsample net is configured
+       (feature repeat path, reference: synthesis.py:128-146).
+    """
+    spec = spec or spec_from_config(cfg)
+    if c is not None:
+        c = np.asarray(c, dtype=np.float32)
+        assert c.ndim == 2
+        if not cfg.upsample_conditional_features:
+            # repeat features to sample resolution
+            # (reference: synthesis.py:128-146)
+            upsample_factor = audio.get_hop_size(cfg)
+            c = np.repeat(c, upsample_factor, axis=0)
+            if length is not None:
+                c = c[:length]
+            length = c.shape[0]
+            c_in = c[None]
+        else:
+            c_in = pad_mel_context(c[None], cfg.cin_pad)
+        g_in = None if g is None else np.asarray([g]).reshape(1, -1)
+        wav = batch_wavegen(params, cfg, spec=spec, c=c_in,
+                            g=None if g is None else np.asarray([g]),
+                            T=length, rng=rng, fast=fast)
+        return wav[0]
+    assert length is not None
+    g_arr = None if g is None else np.asarray([g])
+    wav = batch_wavegen(params, cfg, spec=spec, c=None, g=g_arr, T=length,
+                        rng=rng, fast=fast)
+    return wav[0]

@@ -1,0 +1,214 @@
+"""Training loop orchestration (reference: train.py:780-849, 1035-1114).
+
+Epoch loop over {train_no_dev, dev} splits; per-step LR schedule, checkpoint
+and eval intervals; EMA; TensorBoard (or JSONL fallback) metrics; graceful
+KeyboardInterrupt -> final checkpoint (reference: train.py:1101-1110).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from wavenet_vocoder_tpu.config import Config
+from wavenet_vocoder_tpu.data import DataLoader, WaveNetDataset
+from wavenet_vocoder_tpu.dsp import audio
+from wavenet_vocoder_tpu.models.wavenet import spec_from_config
+from wavenet_vocoder_tpu.parallel import make_mesh, shard_batch, shard_state
+from wavenet_vocoder_tpu.synthesis import batch_wavegen
+from wavenet_vocoder_tpu.training import checkpoint as ckpt_lib
+from wavenet_vocoder_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+
+
+class MetricWriter:
+    """TensorBoard if torch is importable, else JSONL
+    (reference: train.py:771-775 tensorboardX scalars)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+
+    def flush(self) -> None:
+        if self._tb is not None:
+            self._tb.flush()
+        self._jsonl.flush()
+
+
+def get_data_loaders(data_root: str, cfg: Config,
+                     speaker_id: Optional[int] = None
+                     ) -> Dict[str, DataLoader]:
+    """Loaders for the {train_no_dev, dev} dump layout
+    (reference: train.py:973-1032)."""
+    loaders = {}
+    for phase in ("train_no_dev", "dev"):
+        d = os.path.join(data_root, phase)
+        if not os.path.isdir(d):
+            if phase == "train_no_dev":
+                # flat dump dir (no splits): train on everything
+                d = data_root
+            else:
+                continue
+        train = phase == "train_no_dev"
+        ds = WaveNetDataset(d, cfg, speaker_id=speaker_id, train=train)
+        loaders[phase] = DataLoader(ds, cfg, shuffle=train,
+                                    seed=cfg.seed, static_shapes=True)
+    return loaders
+
+
+def save_eval_audio(state: TrainState, cfg: Config, batch: Dict[str, Any],
+                    out_dir: str, global_step: int, rng) -> None:
+    """Generate one utterance with the EMA model and dump generated/target
+    wavs (reference: eval_model, train.py:555-623)."""
+    os.makedirs(out_dir, exist_ok=True)
+    params = state.ema_params if state.ema_params is not None else state.params
+    spec = spec_from_config(cfg)
+    c = batch.get("c")
+    g = batch.get("g")
+    one = {k: None if v is None else np.asarray(v[:1])
+           for k, v in batch.items()}
+    wav = batch_wavegen(params, cfg, spec=spec, c=one.get("c"),
+                        g=one.get("g"),
+                        T=one["x"].shape[1] if c is None else None,
+                        rng=rng)[0]
+    audio.save_wav(wav, os.path.join(
+        out_dir, f"step{global_step:09d}_predicted.wav"), cfg.sample_rate)
+    # target decode (reference: train.py:596-613)
+    from wavenet_vocoder_tpu.ops.mulaw import inv_mulaw, inv_mulaw_quantize
+    mu = cfg.quantize_channels - 1
+    if cfg.is_mulaw_quantize:
+        target = np.asarray(inv_mulaw_quantize(one["y"][0], mu))
+    elif cfg.input_type == "mulaw":
+        target = np.asarray(inv_mulaw(one["y"][0, :, 0], mu))
+    else:
+        target = one["y"][0, :, 0]
+    audio.save_wav(target, os.path.join(
+        out_dir, f"step{global_step:09d}_target.wav"), cfg.sample_rate)
+
+
+def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
+               log_event_path: Optional[str] = None,
+               restore_checkpoint: Optional[str] = None,
+               restore_parts_path: Optional[str] = None,
+               reset_optimizer: bool = False,
+               speaker_id: Optional[int] = None,
+               max_steps_override: Optional[int] = None,
+               use_mesh: bool = True) -> TrainState:
+    """Full training entry (reference: train.py:1035-1114)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    # dump effective config next to checkpoints (reference: train.py:1065-1067)
+    with open(os.path.join(checkpoint_dir, "hparams.json"), "w") as f:
+        f.write(cfg.to_json(indent=2))
+
+    spec = spec_from_config(cfg)
+    print(f"Receptive field: {spec.receptive_field} samples "
+          f"({spec.receptive_field / cfg.sample_rate * 1000:.1f} ms)")
+
+    loaders = get_data_loaders(data_root, cfg, speaker_id)
+    state = create_train_state(cfg)
+
+    global_step = 0
+    global_epoch = 0
+    global_test_step = 0
+    if restore_parts_path:
+        state = state.replace(
+            params=ckpt_lib.restore_parts(restore_parts_path, state.params))
+    if restore_checkpoint:
+        state, counters = ckpt_lib.load_checkpoint(
+            restore_checkpoint, state, reset_optimizer=reset_optimizer)
+        global_step = counters["global_step"]
+        global_epoch = counters["global_epoch"]
+        global_test_step = counters["global_test_step"]
+
+    mesh = None
+    if use_mesh and jax.device_count() > 1:
+        mesh = make_mesh(cfg.mesh_axes)
+        state = shard_state(state, mesh)
+        print(f"Training data-parallel over mesh {dict(mesh.shape)}")
+
+    train_step, eval_step = make_train_step(cfg, spec)
+    writer = MetricWriter(log_event_path or
+                          os.path.join(checkpoint_dir, "log"))
+    rng = jax.random.PRNGKey(cfg.seed)
+    max_steps = max_steps_override or cfg.max_train_steps
+    eval_dir = os.path.join(checkpoint_dir, "intermediate")
+
+    try:
+        while global_step < max_steps and global_epoch < cfg.nepochs:
+            for phase, loader in loaders.items():
+                train = phase == "train_no_dev"
+                running, n_batches = 0.0, 0
+                for batch in loader:
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    if train:
+                        t0 = time.time()
+                        step_rng = jax.random.fold_in(rng, global_step)
+                        state, metrics = train_step(state, batch, step_rng)
+                        global_step += 1
+                        loss = float(metrics["loss"])
+                        writer.scalar("train/loss", loss, global_step)
+                        writer.scalar("train/grad_norm",
+                                      float(metrics["grad_norm"]), global_step)
+                        writer.scalar("train/lr", float(metrics["lr"]),
+                                      global_step)
+                        writer.scalar("train/step_time_s",
+                                      time.time() - t0, global_step)
+                        if global_step % cfg.checkpoint_interval == 0:
+                            ckpt_lib.save_checkpoint(
+                                checkpoint_dir, state,
+                                global_step=global_step,
+                                global_epoch=global_epoch,
+                                global_test_step=global_test_step,
+                                save_optimizer_state=cfg.save_optimizer_state)
+                        if global_step % cfg.train_eval_interval == 0:
+                            save_eval_audio(state, cfg, batch, eval_dir,
+                                            global_step,
+                                            jax.random.fold_in(rng, -1))
+                        if global_step >= max_steps:
+                            break
+                    else:
+                        step_rng = jax.random.fold_in(rng, -global_test_step)
+                        metrics = eval_step(state, batch, step_rng)
+                        loss = float(metrics["loss"])
+                        global_test_step += 1
+                        writer.scalar("dev/loss", loss, global_test_step)
+                    running += loss
+                    n_batches += 1
+                if n_batches:
+                    avg = running / n_batches
+                    writer.scalar(f"{phase}/epoch_loss", avg, global_epoch)
+                    print(f"[epoch {global_epoch}] {phase} avg loss: {avg:.4f} "
+                          f"(step {global_step})")
+                if global_step >= max_steps:
+                    break
+            global_epoch += 1
+    except KeyboardInterrupt:
+        print("Interrupted — saving final checkpoint "
+              "(reference: train.py:1101-1110)")
+    finally:
+        ckpt_lib.save_checkpoint(
+            checkpoint_dir, state, global_step=global_step,
+            global_epoch=global_epoch, global_test_step=global_test_step,
+            save_optimizer_state=cfg.save_optimizer_state)
+        writer.flush()
+    return state
