@@ -52,15 +52,19 @@ def main():
     def run(key):
         out = generate(params, spec, key, c=c, output="samples",
                        log_scale_min=cfg.log_scale_min)
-        return out["samples"]
+        # NOTE: force a real device->host transfer. Under the axon relay,
+        # block_until_ready() returns before execution completes, giving
+        # fantasy timings; np.asarray round-trips actual values.
+        return np.asarray(out["samples"])
 
     # compile + warm up
-    run(jax.random.PRNGKey(0)).block_until_ready()
+    run(jax.random.PRNGKey(0))
 
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
     t0 = time.perf_counter()
     for i in range(n_iters):
-        run(jax.random.PRNGKey(i + 1)).block_until_ready()
+        s = run(jax.random.PRNGKey(i + 1))
+    assert np.isfinite(s).all() and s.std() > 0.01, "degenerate output"
     dt = (time.perf_counter() - t0) / n_iters
 
     audio_seconds = B * T / cfg.sample_rate
