@@ -49,13 +49,22 @@ def main():
     mel = rs.randn(B, frames, cfg.num_mels).astype(np.float32)
     c = jnp.asarray(pad_mel_context(mel, cfg.cin_pad))
 
-    def run(key):
-        out = generate(params, spec, key, c=c, output="samples",
-                       log_scale_min=cfg.log_scale_min)
-        # NOTE: force a real device->host transfer. Under the axon relay,
-        # block_until_ready() returns before execution completes, giving
-        # fantasy timings; np.asarray round-trips actual values.
-        return np.asarray(out["samples"])
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    if engine == "pallas":
+        from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
+        gen = PallasGenerator(params, spec)  # pack weights ONCE
+
+        def run(key):
+            s = gen(key, c=c, log_scale_min=cfg.log_scale_min)
+            # NOTE: force a real device->host transfer. Under the axon relay,
+            # block_until_ready() returns before execution completes, giving
+            # fantasy timings; np.asarray round-trips actual values.
+            return np.asarray(s)[..., None]
+    else:
+        def run(key):
+            out = generate(params, spec, key, c=c, output="samples",
+                           log_scale_min=cfg.log_scale_min)
+            return np.asarray(out["samples"])
 
     # compile + warm up
     run(jax.random.PRNGKey(0))
@@ -80,6 +89,7 @@ def main():
             "samples_per_sec": round(B * T / dt, 1),
             "wall_s_per_iter": round(dt, 3),
             "model": "24L/4S MoL 128/256/128",
+            "engine": engine,
             "device": str(jax.devices()[0]),
         },
     }))

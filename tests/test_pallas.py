@@ -1,0 +1,121 @@
+"""Pallas fused-kernel generation: cross-engine equivalence against the scan
+decoder (interpret mode on CPU; the same checks run compiled on real TPU).
+
+deterministic=True puts both engines on argmax/mean feedback so outputs are
+comparable; sampling-mode outputs are distribution-equivalent but use
+different PRNG streams (jax.random vs the on-core PRNG)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavenet_vocoder_tpu.models.wavenet import WaveNetSpec, init_wavenet
+from wavenet_vocoder_tpu.ops.generate import generate
+from wavenet_vocoder_tpu.ops.pallas_generate import (
+    buffer_layout,
+    generate_pallas,
+    pack_weights,
+)
+
+
+def _spec(**kw):
+    base = dict(out_channels=256, layers=4, stacks=2, residual_channels=8,
+                gate_channels=16, skip_out_channels=8, cin_channels=4,
+                scalar_input=False)
+    base.update(kw)
+    return WaveNetSpec(**base)
+
+
+def test_buffer_layout():
+    spec = _spec()
+    offs, total = buffer_layout(spec)
+    # dilations (1, 2, 1, 2), k=3 -> lengths (2, 4, 2, 4)
+    assert offs == (0, 2, 6, 8)
+    assert total == 12
+
+
+def test_pack_weights_shapes():
+    spec = _spec()
+    p = init_wavenet(jax.random.PRNGKey(0), spec)
+    packed = pack_weights(p, spec, dtype=jnp.bfloat16)
+    # fused input projection: k*R conv rows + cin conditioning rows
+    assert packed["w_in"].shape == (4, 3 * 8 + 4, 16)
+    assert packed["w_in"].dtype == jnp.bfloat16
+    # fused output projection: (G2, R + S)
+    assert packed["w_og"].shape == (4, 8, 8 + 8)
+    assert packed["b_in"].dtype == jnp.float32
+    assert packed["b_og"].shape == (4, 16)
+    assert packed["w_h2"].shape == (8, 256)
+
+
+def test_categorical_matches_scan():
+    spec = _spec()
+    p = init_wavenet(jax.random.PRNGKey(0), spec)
+    B, T = 2, 64
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    codes_scan = np.argmax(np.asarray(
+        generate(p, spec, jax.random.PRNGKey(2), c=c,
+                 deterministic=True)["samples"]), -1)
+    codes_pallas = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True))
+    np.testing.assert_array_equal(codes_scan, codes_pallas)
+
+
+def test_mol_matches_scan():
+    spec = _spec(out_channels=30, scalar_input=True,
+                 output_distribution="Logistic")
+    p = init_wavenet(jax.random.PRNGKey(3), spec)
+    B, T = 2, 48
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    s_scan = np.asarray(generate(p, spec, jax.random.PRNGKey(2), c=c,
+                                 deterministic=True)["samples"])[..., 0]
+    s_pallas = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True))
+    np.testing.assert_allclose(s_scan, s_pallas, atol=1e-4)
+
+
+def test_gaussian_single_matches_scan():
+    spec = _spec(out_channels=2, scalar_input=True,
+                 output_distribution="Normal")
+    p = init_wavenet(jax.random.PRNGKey(4), spec)
+    B, T = 2, 32
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    s_scan = np.asarray(generate(p, spec, jax.random.PRNGKey(2), c=c,
+                                 deterministic=True)["samples"])[..., 0]
+    s_pallas = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True))
+    np.testing.assert_allclose(s_scan, s_pallas, atol=1e-4)
+
+
+def test_global_conditioning_matches_scan():
+    spec = _spec(gin_channels=8, use_speaker_embedding=True, n_speakers=3)
+    p = init_wavenet(jax.random.PRNGKey(5), spec)
+    B, T = 2, 32
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    g = jnp.asarray([0, 2], dtype=jnp.int32)
+    codes_scan = np.argmax(np.asarray(
+        generate(p, spec, jax.random.PRNGKey(2), c=c, g=g,
+                 deterministic=True)["samples"]), -1)
+    codes_pallas = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, g=g, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True))
+    np.testing.assert_array_equal(codes_scan, codes_pallas)
+    # different speaker -> different output
+    codes_g1 = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c,
+        g=jnp.asarray([1, 1], dtype=jnp.int32), weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True))
+    assert not np.array_equal(codes_pallas, codes_g1)
+
+
+def test_chunk_padding():
+    # T not a multiple of chunk: padded internally, trimmed on return
+    spec = _spec(cin_channels=-1)
+    p = init_wavenet(jax.random.PRNGKey(6), spec)
+    out = generate_pallas(p, spec, jax.random.PRNGKey(0), T=23,
+                          weight_dtype=jnp.float32, chunk=16,
+                          deterministic=True, interpret=True)
+    assert out.shape == (1, 23)

@@ -64,13 +64,32 @@ def default_initial_input(spec: WaveNetSpec, batch: int,
 
 
 def _sample_next(spec: WaveNetSpec, key, out: jnp.ndarray, *,
-                 log_scale_min: float, softmax: bool, quantize: bool):
+                 log_scale_min: float, softmax: bool, quantize: bool,
+                 deterministic: bool = False):
     """Head output (B, C) f32 -> (next_input (B, C_in), emitted (B, C_emit)).
 
     Scalar heads emit the sampled scalar; the categorical head emits the
     sampled one-hot (or the softmax distribution when quantize=False)
     (reference: wavenet.py:322-335).
+
+    deterministic=True replaces sampling with argmax/mode feedback (mixture:
+    argmax-component mean; categorical: argmax code) — used for cross-engine
+    equivalence tests against the Pallas kernel.
     """
+    if deterministic:
+        if spec.scalar_input:
+            if out.shape[-1] == 2:
+                s = jnp.clip(out[:, 0], -1.0, 1.0)[:, None]
+                return s, s
+            nr_mix = out.shape[-1] // 3
+            sel = jnp.argmax(out[..., :nr_mix], axis=-1)
+            one_hot = jax.nn.one_hot(sel, nr_mix, dtype=jnp.float32)
+            mean = jnp.sum(out[..., nr_mix:2 * nr_mix] * one_hot, axis=-1)
+            s = jnp.clip(mean, -1.0, 1.0)[:, None]
+            return s, s
+        idx = jnp.argmax(out, axis=-1)
+        one_hot = jax.nn.one_hot(idx, spec.out_channels, dtype=out.dtype)
+        return one_hot, one_hot
     if spec.scalar_input:
         if spec.output_distribution == "Logistic":
             s = sample_from_discretized_mix_logistic(
@@ -91,7 +110,8 @@ def _sample_next(spec: WaveNetSpec, key, out: jnp.ndarray, *,
 
 
 @partial(jax.jit, static_argnames=(
-    "spec", "T", "softmax", "quantize", "output", "log_scale_min"))
+    "spec", "T", "softmax", "quantize", "output", "log_scale_min",
+    "deterministic"))
 def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
                    c_up: Optional[jnp.ndarray],
                    g_vec: Optional[jnp.ndarray],
@@ -99,7 +119,8 @@ def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
                    test_inputs: Optional[jnp.ndarray],
                    n_test: Optional[jnp.ndarray],
                    softmax: bool, quantize: bool,
-                   log_scale_min: float, output: str):
+                   log_scale_min: float, output: str,
+                   deterministic: bool = False):
     """The compiled scan. All conditioning pre-sliced to time-major xs."""
     B = initial_input.shape[0]
     k = spec.kernel_size
@@ -167,7 +188,7 @@ def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
         key_t = jax.random.fold_in(rng, t)
         next_in, emitted = _sample_next(
             spec, key_t, out, log_scale_min=log_scale_min,
-            softmax=softmax, quantize=quantize)
+            softmax=softmax, quantize=quantize, deterministic=deterministic)
 
         ys = {}
         if output in ("samples", "both"):
@@ -191,7 +212,8 @@ def generate(params: Params, spec: WaveNetSpec, rng, *,
              softmax: bool = True, quantize: bool = True,
              log_scale_min: float = -50.0,
              output: str = "samples",
-             fold_weight_norm: bool = True) -> Dict[str, jnp.ndarray]:
+             fold_weight_norm: bool = True,
+             deterministic: bool = False) -> Dict[str, jnp.ndarray]:
     """Autoregressive generation (reference: wavenet.py:215-343).
 
     Args:
@@ -253,4 +275,5 @@ def generate(params: Params, spec: WaveNetSpec, rng, *,
         params, spec, rng, T=int(T), c_up=c_up, g_vec=g_vec,
         initial_input=initial_input, test_inputs=test_inputs, n_test=n_test,
         softmax=softmax, quantize=quantize,
-        log_scale_min=float(log_scale_min), output=output)
+        log_scale_min=float(log_scale_min), output=output,
+        deterministic=deterministic)

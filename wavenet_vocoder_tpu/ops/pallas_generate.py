@@ -1,0 +1,447 @@
+"""Fused Pallas TPU kernel for autoregressive generation.
+
+Why: the XLA `lax.scan` decoder (ops/generate.py) re-reads every conv weight
+from HBM on every one of the T steps — for the flagship 24-layer model that is
+~14.5MB x 22k steps ≈ 320GB of HBM traffic per generated second, an
+HBM-bandwidth wall at ~45us/step. This kernel keeps ALL weights (bf16, ~7MB)
+resident in VMEM for the entire generation, streams only the per-step
+conditioning through the Pallas pipeline, and runs the whole sampling step
+(first conv -> 24 gated residual blocks with dilated ring buffers -> head ->
+mixture/categorical sampling) on-core.
+
+Structure:
+  * grid = (T / CHUNK,) over time chunks. TPU grid steps run sequentially, so
+    VMEM scratch (ring buffers, current input) persists across chunks — the
+    sequential AR dependency is preserved while the pipeline double-buffers
+    the conditioning DMA.
+  * ring buffers for all layers packed into one (sum_L, B, R) f32 scratch
+    tile-aligned array (row = one (B, R) tile); per-layer offsets are static.
+    Same read-before-write modular indexing as the scan decoder
+    (see ops/generate.py docstring; reference: conv.py:34-44).
+  * sampling uses the on-core PRNG (pltpu.prng_seed / prng_random_bits);
+    NOTE: the random stream differs from the scan engine's jax.random stream —
+    outputs are distribution-equivalent, not bit-identical. With
+    deterministic=True both engines follow argmax/mean feedback and must
+    agree numerically (the cross-engine equivalence test).
+
+Reference behavior being replaced: wavenet.py:215-343 (incremental_forward),
+conv.py:17-65 (incremental conv with linearized weights).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wavenet_vocoder_tpu.models.layers import conv_kernel
+from wavenet_vocoder_tpu.models.wavenet import (
+    WaveNetSpec,
+    embed_global,
+    make_generation_fast,
+    upsample_conditioning,
+)
+from wavenet_vocoder_tpu.models.layers import conv1x1
+
+Params = Dict[str, Any]
+
+DEFAULT_CHUNK = 256
+
+
+def _kernel_and_bias(p, dtype):
+    w = conv_kernel(p).astype(dtype)
+    b = p.get("b")
+    return w, (None if b is None else b.astype(jnp.float32))
+
+
+def pack_weights(params: Params, spec: WaveNetSpec, dtype=jnp.bfloat16
+                 ) -> Dict[str, jnp.ndarray]:
+    """Stack per-layer weights into kernel-friendly arrays.
+
+    Shapes (L = layers, R = residual, G = gate, G2 = G//2, S = skip):
+      w_first (C_in, R);  w_conv (L, k*R, G);  w_cond (L, cin, G) [opt];
+      w_skip (L, G2, S);  w_out (L, G2, R);  w_h1 (S, S);  w_h2 (S, out).
+    Biases are kept f32.
+    """
+    params = make_generation_fast(params)
+    L = spec.layers
+    out: Dict[str, jnp.ndarray] = {}
+
+    w, b = _kernel_and_bias(params["first_conv"], dtype)
+    out["w_first"] = w[0]                      # (C_in, R)
+    out["b_first"] = b
+
+    def stack(key_fn):
+        return jnp.stack([key_fn(bp) for bp in params["blocks"]])
+
+    k = spec.kernel_size
+    r = spec.residual_channels
+
+    # Fused input projection: one matmul per layer computes the dilated conv
+    # AND the local-conditioning projection — rows [0, k*R) are the conv taps
+    # (oldest..newest), rows [k*R, k*R+cin) the conditioning. Halves the
+    # dependent-matmul chain vs separate conv/cond matmuls.
+    def w_in_l(bp):
+        w = conv_kernel(bp["conv"]).astype(dtype).reshape(k * r, -1)
+        if spec.has_local_conditioning:
+            wc = conv_kernel(bp["cond_c"]).astype(dtype)[0]
+            w = jnp.concatenate([w, wc], axis=0)
+        return w
+    out["w_in"] = stack(w_in_l)                    # (L, k*R [+cin], G)
+    out["b_in"] = stack(lambda bp: bp["conv"]["b"].astype(jnp.float32))
+
+    # Fused output projection: residual-out and skip-out share the gated
+    # activation input — one (G2, R+S) matmul per layer.
+    out["w_og"] = stack(lambda bp: jnp.concatenate([
+        conv_kernel(bp["out"]).astype(dtype)[0],
+        conv_kernel(bp["skip"]).astype(dtype)[0]], axis=-1))  # (L, G2, R+S)
+    out["b_og"] = stack(lambda bp: jnp.concatenate([
+        bp["out"]["b"], bp["skip"]["b"]]).astype(jnp.float32))
+
+    w1, b1 = _kernel_and_bias(params["last_conv1"], dtype)
+    w2, b2 = _kernel_and_bias(params["last_conv2"], dtype)
+    out["w_h1"], out["b_h1"] = w1[0], b1
+    out["w_h2"], out["b_h2"] = w2[0], b2
+    return out
+
+
+def buffer_layout(spec: WaveNetSpec) -> Tuple[Tuple[int, ...], int]:
+    """Static (offsets, total_rows) of the packed ring buffer."""
+    offs = []
+    total = 0
+    k = spec.kernel_size
+    for d in spec.dilations:
+        offs.append(total)
+        total += (k - 1) * d
+    return tuple(offs), total
+
+
+def _uniform_from_bits(bits, lo=1e-5):
+    """uint32 random bits -> f32 uniform in (lo, 1-lo).
+
+    Mosaic has no uint32->f32 cast; the top 24 bits fit in int32, so bitcast
+    to int32 first."""
+    hi24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    u = hi24.astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.clip(u, lo, 1.0 - lo)
+
+
+def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
+                 log_scale_min: float, deterministic: bool):
+    """Build the kernel body (closure over static structure)."""
+    L = spec.layers
+    k = spec.kernel_size
+    R = spec.residual_channels
+    G = spec.gate_channels
+    G2 = G // 2
+    S = spec.skip_out_channels
+    C_out = spec.out_channels
+    C_in = spec.in_channels
+    offs, total_rows = buffer_layout(spec)
+    dils = spec.dilations
+    sqrt_half = math.sqrt(0.5)
+    sqrt_inv_L = math.sqrt(1.0 / L)
+    scalar = spec.scalar_input
+    distribution = spec.output_distribution
+
+    def kernel(seed_ref,                      # SMEM (1,)
+               x0_ref,                        # (B, C_in)
+               cond_ref,                      # (chunk, B, cin) or (1, 1, 1)
+               g_gate_ref,                    # (L, B, G) (zeros if unused)
+               w_first_ref, b_first_ref,
+               w_in_ref, b_in_ref,            # (L, k*R[+cin], G), (L, G)
+               w_og_ref, b_og_ref,            # (L, G2, R+S), (L, R+S)
+               w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
+               out_ref,                       # (chunk, B) f32 or int32
+               buf_ref,                       # scratch (total_rows, B, R) f32
+               x_cur_ref):                    # scratch (B, C_in) f32
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            buf_ref[...] = jnp.zeros_like(buf_ref)
+            x_cur_ref[...] = x0_ref[...].astype(jnp.float32)
+
+        if not deterministic:
+            pltpu.prng_seed(seed_ref[0] + i)
+
+        def step(j, _):
+            t = i * chunk + j
+            x_in = x_cur_ref[...]                       # (B, C_in) f32
+
+            h = jnp.dot(x_in.astype(w_first_ref.dtype), w_first_ref[...],
+                        preferred_element_type=jnp.float32) + b_first_ref[...]
+
+            ct = None
+            if has_cond:
+                ct = cond_ref[j]                        # (B, cin)
+
+            skips = jnp.zeros((B, S), jnp.float32)
+            for li in range(L):
+                d = dils[li]
+                Ll = (k - 1) * d
+                off = offs[li]
+                taps = []
+                for jj in range(k - 1, 0, -1):
+                    row = off + (t - jj * d) % Ll
+                    taps.append(buf_ref[pl.ds(row, 1)][0])   # (B, R) f32
+                # write current input AFTER reads (evicts x[t - Ll])
+                buf_ref[pl.ds(off + t % Ll, 1)] = h[None]
+                taps.append(h)
+                if has_cond:
+                    taps.append(ct)
+                inp = jnp.concatenate(taps, axis=-1)   # (B, k*R [+cin])
+
+                z = jnp.dot(inp.astype(w_in_ref.dtype), w_in_ref[li],
+                            preferred_element_type=jnp.float32)
+                z = z + b_in_ref[li] + g_gate_ref[li]
+                a, b = z[:, :G2], z[:, G2:]
+                gated = jnp.tanh(a) * jax.nn.sigmoid(b)      # (B, G2) f32
+
+                y = jnp.dot(gated.astype(w_og_ref.dtype), w_og_ref[li],
+                            preferred_element_type=jnp.float32) + b_og_ref[li]
+                skips = skips + y[:, R:]
+                h = (y[:, :R] + h) * sqrt_half
+
+            skips = skips * sqrt_inv_L
+            o = jnp.maximum(skips, 0.0)
+            o = jnp.dot(o.astype(w_h1_ref.dtype), w_h1_ref[...],
+                        preferred_element_type=jnp.float32) + b_h1_ref[...]
+            o = jnp.maximum(o, 0.0)
+            o = jnp.dot(o.astype(w_h2_ref.dtype), w_h2_ref[...],
+                        preferred_element_type=jnp.float32) + b_h2_ref[...]
+            # o: (B, C_out) f32
+
+            if scalar:
+                nr_mix = C_out // 3 if C_out > 2 else 1
+                if C_out == 2:
+                    mean, log_s = o[:, 0], o[:, 1]
+                    if distribution == "Normal" and not deterministic:
+                        bits = pltpu.prng_random_bits((B, 2))
+                        u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
+                        # Box-Muller
+                        z0 = jnp.sqrt(-2.0 * jnp.log(u[:, 0])) \
+                            * jnp.cos(2.0 * np.pi * u[:, 1])
+                        sample = mean + jnp.exp(log_s) * z0
+                    else:
+                        sample = mean
+                else:
+                    logit = o[:, :nr_mix]
+                    means = o[:, nr_mix:2 * nr_mix]
+                    log_s = o[:, 2 * nr_mix:3 * nr_mix]
+                    if deterministic:
+                        sel = jnp.argmax(logit, axis=-1)
+                    else:
+                        bits = pltpu.prng_random_bits((B, nr_mix))
+                        u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
+                        sel = jnp.argmax(logit - jnp.log(-jnp.log(u)), axis=-1)
+                    one_hot = (jax.lax.broadcasted_iota(
+                        jnp.int32, (B, nr_mix), 1) == sel[:, None]
+                    ).astype(jnp.float32)
+                    mean = jnp.sum(means * one_hot, axis=-1)
+                    ls = jnp.sum(log_s * one_hot, axis=-1)
+                    if deterministic:
+                        sample = mean
+                    elif distribution == "Logistic":
+                        bits2 = pltpu.prng_random_bits((B, 1))
+                        u2 = _uniform_from_bits(
+                            pltpu.bitcast(bits2, jnp.uint32))[:, 0]
+                        sample = mean + jnp.exp(ls) * (jnp.log(u2)
+                                                       - jnp.log(1.0 - u2))
+                    else:  # Normal
+                        bits2 = pltpu.prng_random_bits((B, 2))
+                        u2 = _uniform_from_bits(
+                            pltpu.bitcast(bits2, jnp.uint32))
+                        z0 = jnp.sqrt(-2.0 * jnp.log(u2[:, 0])) \
+                            * jnp.cos(2.0 * np.pi * u2[:, 1])
+                        sample = mean + jnp.exp(ls) * z0
+                sample = jnp.clip(sample, -1.0, 1.0)
+                out_ref[j] = sample
+                x_cur_ref[...] = sample[:, None]
+            else:
+                if deterministic:
+                    code = jnp.argmax(o, axis=-1)
+                else:
+                    bits = pltpu.prng_random_bits((B, C_out))
+                    u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
+                    code = jnp.argmax(o - jnp.log(-jnp.log(u)), axis=-1)
+                out_ref[j] = code.astype(jnp.int32)
+                x_cur_ref[...] = (jax.lax.broadcasted_iota(
+                    jnp.int32, (B, C_in), 1) == code[:, None]
+                ).astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, step, 0)
+
+    return kernel, total_rows
+
+
+@partial(jax.jit, static_argnames=("spec", "T", "chunk", "log_scale_min",
+                                   "deterministic", "interpret"))
+def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
+                         spec: WaveNetSpec, *, T: int,
+                         c_up: Optional[jnp.ndarray],
+                         g_gate: jnp.ndarray,
+                         x0: jnp.ndarray,
+                         seed: jnp.ndarray,
+                         chunk: int,
+                         log_scale_min: float,
+                         deterministic: bool,
+                         interpret: bool = False) -> jnp.ndarray:
+    B = x0.shape[0]
+    has_cond = c_up is not None
+    n_chunks = T // chunk
+    assert n_chunks * chunk == T
+
+    kernel, total_rows = _make_kernel(
+        spec, B=B, chunk=chunk, has_cond=has_cond,
+        log_scale_min=log_scale_min, deterministic=deterministic)
+
+    if has_cond:
+        cond_tm = jnp.swapaxes(c_up, 0, 1).astype(jnp.float32)  # (T, B, cin)
+        cond_spec = pl.BlockSpec((chunk, B, cond_tm.shape[-1]),
+                                 lambda i, seed: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        cond_tm = jnp.zeros((1, 1, 1), jnp.float32)
+        cond_spec = pl.BlockSpec((1, 1, 1), lambda i, seed: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_dtype = jnp.float32 if spec.scalar_input else jnp.int32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            full(),                    # x0
+            cond_spec,                 # cond chunk
+            full(),                    # g_gate
+            full(), full(),            # w_first, b_first
+            full(), full(),            # w_in, b_in
+            full(), full(),            # w_og, b_og
+            full(), full(), full(), full(),  # head
+        ],
+        out_specs=pl.BlockSpec((chunk, B), lambda i, seed: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((total_rows, B, spec.residual_channels), jnp.float32),
+            pltpu.VMEM((B, spec.in_channels), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, B), out_dtype),
+        interpret=interpret,
+    )(seed, x0, cond_tm, g_gate,
+      packed["w_first"], packed["b_first"],
+      packed["w_in"], packed["b_in"],
+      packed["w_og"], packed["b_og"],
+      packed["w_h1"], packed["b_h1"], packed["w_h2"], packed["b_h2"])
+    return jnp.swapaxes(out, 0, 1)  # (B, T)
+
+
+class PallasGenerator:
+    """Pack-once, generate-many wrapper around the fused kernel.
+
+    Weight-norm folding + weight packing cost dozens of host-dispatched ops;
+    doing them per call dominates the kernel time (the kernel itself runs at
+    ~9us/step for the flagship model). Construct once per model, call per
+    batch — the production serving shape.
+    """
+
+    def __init__(self, params: Params, spec: WaveNetSpec, *,
+                 weight_dtype=jnp.bfloat16, chunk: int = DEFAULT_CHUNK):
+        self.spec = spec
+        self.chunk = chunk
+        self.params = make_generation_fast(params)
+        self.packed = jax.device_put(
+            pack_weights(self.params, spec, dtype=weight_dtype))
+
+    def __call__(self, rng, *, T: Optional[int] = None,
+                 c: Optional[jnp.ndarray] = None,
+                 g: Optional[jnp.ndarray] = None,
+                 initial_input: Optional[jnp.ndarray] = None,
+                 log_scale_min: float = -50.0,
+                 deterministic: bool = False,
+                 interpret: bool = False) -> jnp.ndarray:
+        spec, chunk = self.spec, self.chunk
+        params = self.params
+
+        if c is not None:
+            B = c.shape[0]
+        elif initial_input is not None:
+            B = initial_input.shape[0]
+        else:
+            B = 1
+
+        c_up = upsample_conditioning(params, spec, c)
+        if c_up is not None:
+            if T is None:
+                T = c_up.shape[1]
+            assert c_up.shape[1] == T, (c_up.shape, T)
+        if T is None:
+            raise ValueError("T required without conditioning")
+
+        # pad T to a chunk multiple; trim after
+        T_pad = ((T + chunk - 1) // chunk) * chunk
+        if c_up is not None and T_pad != T:
+            pad = jnp.repeat(c_up[:, -1:], T_pad - T, axis=1)
+            c_up = jnp.concatenate([c_up, pad], axis=1)
+
+        g_vec = embed_global(params, spec, g)
+        if g_vec is not None:
+            g_gate = jnp.stack([
+                conv1x1(bp["cond_g"], g_vec).astype(jnp.float32)
+                for bp in params["blocks"]])              # (L, B, G)
+        else:
+            g_gate = jnp.zeros((spec.layers, B, spec.gate_channels),
+                               jnp.float32)
+
+        if initial_input is None:
+            if spec.scalar_input:
+                x0 = jnp.zeros((B, 1), jnp.float32)
+            else:
+                x0 = jnp.zeros((B, spec.out_channels),
+                               jnp.float32).at[:, 127].set(1.0)
+        else:
+            x0 = initial_input.reshape(B, -1).astype(jnp.float32)
+
+        seed = jnp.asarray([jax.random.randint(rng, (), 0, 2 ** 31 - 1)],
+                           dtype=jnp.int32)
+
+        out = _pallas_generate_jit(
+            self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate, x0=x0,
+            seed=seed, chunk=chunk, log_scale_min=float(log_scale_min),
+            deterministic=deterministic, interpret=interpret)
+        return out[:, :T]
+
+
+def generate_pallas(params: Params, spec: WaveNetSpec, rng, *,
+                    T: Optional[int] = None,
+                    c: Optional[jnp.ndarray] = None,
+                    g: Optional[jnp.ndarray] = None,
+                    initial_input: Optional[jnp.ndarray] = None,
+                    log_scale_min: float = -50.0,
+                    weight_dtype=jnp.bfloat16,
+                    chunk: int = DEFAULT_CHUNK,
+                    deterministic: bool = False,
+                    interpret: bool = False) -> jnp.ndarray:
+    """One-shot fused-kernel generation (packs weights per call — prefer
+    :class:`PallasGenerator` for repeated use).
+
+    Returns (B, T) f32 samples for scalar heads, or (B, T) int32 mu-law codes
+    for the categorical head (the scan engine returns one-hot; codes decode
+    directly via inv_mulaw_quantize).
+    """
+    gen = PallasGenerator(params, spec, weight_dtype=weight_dtype, chunk=chunk)
+    return gen(rng, T=T, c=c, g=g, initial_input=initial_input,
+               log_scale_min=log_scale_min, deterministic=deterministic,
+               interpret=interpret)

@@ -44,15 +44,20 @@ def pad_mel_context(c: np.ndarray, cin_pad: int) -> np.ndarray:
 
 def _decode(cfg: Config, samples: jnp.ndarray) -> np.ndarray:
     """Head samples -> float waveform (B, T)
-    (reference: synthesis.py:66-86)."""
+    (reference: synthesis.py:66-86).
+
+    Accepts one-hot (B, T, C) or integer codes (B, T) for the categorical
+    head, and (B, T, 1) or (B, T) scalars for the mixture heads."""
+    samples = np.asarray(samples)
     mu = cfg.quantize_channels - 1
     if cfg.is_mulaw_quantize:
-        codes = np.argmax(np.asarray(samples), axis=-1)  # (B, T)
+        codes = samples if samples.ndim == 2 else np.argmax(samples, axis=-1)
         wav = np.asarray(inv_mulaw_quantize(codes, mu), dtype=np.float64)
     elif cfg.input_type == "mulaw":
-        wav = np.asarray(inv_mulaw(np.asarray(samples)[..., 0], mu))
+        x = samples if samples.ndim == 2 else samples[..., 0]
+        wav = np.asarray(inv_mulaw(x, mu))
     else:
-        wav = np.asarray(samples)[..., 0]
+        wav = samples if samples.ndim == 2 else samples[..., 0]
 
     if cfg.postprocess not in (None, "", "none"):
         wav = np.stack([getattr(audio, cfg.postprocess)(w) for w in wav])
@@ -67,7 +72,7 @@ def batch_wavegen(params: Params, cfg: Config, *,
                   g: Optional[np.ndarray] = None,
                   T: Optional[int] = None,
                   rng=None, fast: bool = True,
-                  mesh=None) -> np.ndarray:
+                  mesh=None, engine: str = "scan") -> np.ndarray:
     """Generate a batch of waveforms (reference: synthesis.py:42-86).
 
     Args:
@@ -77,6 +82,9 @@ def batch_wavegen(params: Params, cfg: Config, *,
       g: (B,) speaker ids or (B, gin) float conditioning.
       T: explicit sample count when unconditional.
       mesh: optional jax Mesh — utterances shard over its 'data' axis.
+      engine: "scan" (XLA lax.scan decoder) or "pallas" (fused TPU kernel
+        with VMEM-resident weights — fastest on real TPU hardware; bf16
+        weights, own PRNG stream).
     Returns (B, T) float32 waveforms.
     """
     spec = spec or spec_from_config(cfg)
@@ -98,6 +106,11 @@ def batch_wavegen(params: Params, cfg: Config, *,
         if g is not None:
             g = jnp.asarray(g)
 
+    if engine == "pallas":
+        from wavenet_vocoder_tpu.ops.pallas_generate import generate_pallas
+        samples = generate_pallas(params, spec, rng, T=T, c=c, g=g,
+                                  log_scale_min=cfg.log_scale_min)
+        return _decode(cfg, samples)
     out = generate(params, spec, rng, T=T, c=c, g=g,
                    softmax=True, quantize=True,
                    log_scale_min=cfg.log_scale_min,
