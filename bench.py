@@ -22,6 +22,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_train():
+    """BENCH_MODE=train: training samples/sec on the flagship MoL config
+    (reference wall-clock anchor: ~1.26 steps/s x 8x10240 samples on GPU,
+    docs/content/index.md '100k steps (~22 hours)' => ~103k samples/s)."""
+    import numpy as np
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.training.train_state import (
+        create_train_state, make_train_step)
+
+    cfg = Config()  # flagship MoL, batch 8 x 10240 crop, bf16 compute
+    B = int(os.environ.get("BENCH_BATCH", cfg.batch_size))
+    T = cfg.max_time_steps
+    frames = T // cfg.hop_size + 2 * cfg.cin_pad
+    rs = np.random.RandomState(0)
+    x = rs.uniform(-0.5, 0.5, (B, T, 1)).astype(np.float32)
+    batch = {
+        "x": x, "y": x.copy(),
+        "c": rs.randn(B, frames, cfg.num_mels).astype(np.float32),
+        "input_lengths": np.full(B, T, np.int32),
+    }
+    state = create_train_state(cfg)
+    train_step, _ = make_train_step(cfg)
+    key = jax.random.PRNGKey(0)
+    state, m = train_step(state, batch, key)  # compile
+    _ = float(m["loss"])                      # forces real completion
+    n_iters = int(os.environ.get("BENCH_ITERS", 10))
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, m = train_step(state, batch, jax.random.fold_in(key, i))
+    loss = float(m["loss"])  # device->host sync (relay-safe)
+    dt = (time.perf_counter() - t0) / n_iters
+    value = B * T / dt
+    baseline = 1.26 * 8 * 10240  # reference ~1.26 steps/s at 8x10240
+    print(json.dumps({
+        "metric": "training_samples_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(value / baseline, 4),
+        "detail": {"batch": B, "crop": T, "step_s": round(dt, 4),
+                   "steps_per_s": round(1.0 / dt, 2), "loss": round(loss, 3),
+                   "device": str(jax.devices()[0])},
+    }))
+
+
 def main():
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -29,6 +73,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
+
+    if os.environ.get("BENCH_MODE") == "train":
+        return bench_train()
 
     from wavenet_vocoder_tpu.config import Config
     from wavenet_vocoder_tpu.models.wavenet import init_wavenet, spec_from_config

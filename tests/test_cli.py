@@ -39,36 +39,48 @@ def workdir(tmp_path_factory):
     }
     preset_path = root / "preset.json"
     preset_path.write_text(json.dumps(preset))
+
+    # run the preprocessing CLIs once here so every test below is
+    # independently runnable (no inter-test ordering coupling)
+    from wavenet_vocoder_tpu.cli.preprocess import main as pp
+    from wavenet_vocoder_tpu.cli.compute_meanvar_stats import main as mv
+    from wavenet_vocoder_tpu.cli.preprocess_normalize import main as norm
+    dump = str(root / "dump" / "train_no_dev")
+    pp(["wavallin", str(wav_dir), dump,
+        "--preset", str(preset_path), "--num-workers", "1"])
+    scaler = str(root / "meanvar.npz")
+    mv([dump, scaler])
+    norm([dump, str(root / "norm" / "train_no_dev"), scaler,
+          "--num-workers", "1"])
+
     return {"root": root, "wav_dir": str(wav_dir),
             "preset": str(preset_path), "sr": sr}
 
 
-def test_preprocess_cli(workdir):
-    from wavenet_vocoder_tpu.cli.preprocess import main
+def test_preprocess_cli_outputs(workdir):
     dump = str(workdir["root"] / "dump" / "train_no_dev")
-    main(["wavallin", workdir["wav_dir"], dump,
-          "--preset", workdir["preset"], "--num-workers", "1"])
     assert os.path.exists(os.path.join(dump, "train.txt"))
 
 
-def test_meanvar_and_normalize_cli(workdir):
-    from wavenet_vocoder_tpu.cli.compute_meanvar_stats import main as mv
-    from wavenet_vocoder_tpu.cli.preprocess_normalize import main as norm
-    dump = str(workdir["root"] / "dump" / "train_no_dev")
-    scaler = str(workdir["root"] / "meanvar.npz")
-    mv([dump, scaler])
+def test_meanvar_and_normalize_cli_outputs(workdir):
     out = str(workdir["root"] / "norm" / "train_no_dev")
-    norm([dump, out, scaler, "--num-workers", "1"])
     assert os.path.exists(os.path.join(out, "train.txt"))
+    assert os.path.exists(str(workdir["root"] / "meanvar.npz"))
 
 
-def test_train_cli(workdir):
+@pytest.fixture(scope="module")
+def trained(workdir):
     from wavenet_vocoder_tpu.cli.train import main
     ckpt_dir = str(workdir["root"] / "exp")
     main(["--dump-root", str(workdir["root"] / "norm"),
           "--checkpoint-dir", ckpt_dir,
           "--preset", workdir["preset"],
           "--max-train-steps", "3", "--no-mesh"])
+    return ckpt_dir
+
+
+def test_train_cli(workdir, trained):
+    ckpt_dir = trained
     assert os.path.exists(os.path.join(ckpt_dir, "hparams.json"))
     assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_latest.pkl"))
     assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_latest_ema.pkl"))
@@ -77,9 +89,9 @@ def test_train_cli(workdir):
     assert any("metrics" in f or "events" in f for f in os.listdir(logdir))
 
 
-def test_train_cli_resume(workdir):
+def test_train_cli_resume(workdir, trained):
     from wavenet_vocoder_tpu.cli.train import main
-    ckpt_dir = str(workdir["root"] / "exp")
+    ckpt_dir = trained
     latest = os.path.join(ckpt_dir, "checkpoint_latest.pkl")
     main(["--dump-root", str(workdir["root"] / "norm"),
           "--checkpoint-dir", ckpt_dir,
@@ -91,10 +103,10 @@ def test_train_cli_resume(workdir):
         assert pickle.load(f)["global_step"] == 5
 
 
-def test_synthesis_cli(workdir):
+def test_synthesis_cli(workdir, trained):
     from wavenet_vocoder_tpu.cli.synthesis import main
     from glob import glob
-    ckpt = str(workdir["root"] / "exp" / "checkpoint_latest_ema.pkl")
+    ckpt = os.path.join(trained, "checkpoint_latest_ema.pkl")
     mel = sorted(glob(str(workdir["root"] / "norm" / "train_no_dev"
                           / "*-feats.npy")))[0]
     dst = str(workdir["root"] / "syn.wav")
@@ -108,9 +120,9 @@ def test_synthesis_cli(workdir):
     assert len(x) == n_frames * 128
 
 
-def test_evaluate_cli(workdir):
+def test_evaluate_cli(workdir, trained):
     from wavenet_vocoder_tpu.cli.evaluate import main
-    ckpt = str(workdir["root"] / "exp" / "checkpoint_latest_ema.pkl")
+    ckpt = os.path.join(trained, "checkpoint_latest_ema.pkl")
     out = str(workdir["root"] / "generated")
     main([str(workdir["root"] / "norm" / "train_no_dev"), ckpt, out,
           "--num-utterances", "2", "--batch-size", "2"])

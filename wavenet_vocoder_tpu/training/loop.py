@@ -103,6 +103,44 @@ def save_eval_audio(state: TrainState, cfg: Config, batch: Dict[str, Any],
         target = one["y"][0, :, 0]
     audio.save_wav(target, os.path.join(
         out_dir, f"step{global_step:09d}_target.wav"), cfg.sample_rate)
+    # waveform comparison PNG (reference: train.py:542-552)
+    from wavenet_vocoder_tpu.utils.plot import save_waveplot
+    save_waveplot(os.path.join(out_dir, f"step{global_step:09d}_wave.png"),
+                  wav, np.asarray(target), cfg.sample_rate,
+                  title=f"step {global_step}")
+
+
+def save_states(state: TrainState, cfg: Config, batch: Dict[str, Any],
+                out_dir: str, global_step: int, rng) -> None:
+    """Teacher-forced one-step predictions sampled from the head -> audio
+    dump (reference: save_states, train.py:626-674)."""
+    os.makedirs(out_dir, exist_ok=True)
+    from wavenet_vocoder_tpu.models.wavenet import apply_wavenet
+    from wavenet_vocoder_tpu.ops.mixture import (
+        sample_from_discretized_mix_logistic, sample_from_mix_gaussian)
+    from wavenet_vocoder_tpu.ops.mulaw import inv_mulaw, inv_mulaw_quantize
+    import jax.numpy as jnp
+
+    spec = spec_from_config(cfg)
+    one = {k: None if v is None else jnp.asarray(np.asarray(v[:1]))
+           for k, v in batch.items()}
+    y_hat = apply_wavenet(state.params, spec, one["x"], c=one.get("c"),
+                          g=one.get("g"))
+    mu = cfg.quantize_channels - 1
+    if cfg.is_mulaw_quantize:
+        codes = np.argmax(np.asarray(y_hat[0]), axis=-1)
+        wav = np.asarray(inv_mulaw_quantize(codes, mu))
+    elif cfg.output_distribution == "Logistic":
+        s = sample_from_discretized_mix_logistic(
+            rng, y_hat, log_scale_min=cfg.log_scale_min)
+        wav = np.asarray(s[0])
+    else:
+        s = sample_from_mix_gaussian(rng, y_hat,
+                                     log_scale_min=cfg.log_scale_min)
+        wav = np.asarray(s[0])
+    audio.save_wav(wav, os.path.join(
+        out_dir, f"step{global_step:09d}_teacher_forced.wav"),
+        cfg.sample_rate)
 
 
 def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
@@ -183,11 +221,14 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                         if global_step % cfg.train_eval_interval == 0:
                             save_eval_audio(state, cfg, batch, eval_dir,
                                             global_step,
-                                            jax.random.fold_in(rng, -1))
+                                            jax.random.fold_in(rng, 2**31 - 1))
+                            save_states(state, cfg, batch, eval_dir,
+                                        global_step,
+                                        jax.random.fold_in(rng, 2**31 - 2))
                         if global_step >= max_steps:
                             break
                     else:
-                        step_rng = jax.random.fold_in(rng, -global_test_step)
+                        step_rng = jax.random.fold_in(rng, 2**30 + global_test_step)
                         metrics = eval_step(state, batch, step_rng)
                         loss = float(metrics["loss"])
                         global_test_step += 1
