@@ -1,7 +1,7 @@
+from wavenet_vocoder_tpu.ops import mulaw  # noqa: F401  (module, not shadowed)
 from wavenet_vocoder_tpu.ops.mulaw import (  # noqa: F401
     inv_mulaw,
     inv_mulaw_quantize,
-    mulaw,
     mulaw_quantize,
 )
 from wavenet_vocoder_tpu.ops.mixture import (  # noqa: F401

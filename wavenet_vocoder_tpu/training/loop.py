@@ -200,8 +200,9 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                         batch = shard_batch(batch, mesh)
                     if train:
                         t0 = time.time()
-                        step_rng = jax.random.fold_in(rng, global_step)
-                        state, metrics = train_step(state, batch, step_rng)
+                        # per-step randomness is derived from state.step
+                        # inside the jitted step
+                        state, metrics = train_step(state, batch, rng)
                         global_step += 1
                         loss = float(metrics["loss"])
                         writer.scalar("train/loss", loss, global_step)

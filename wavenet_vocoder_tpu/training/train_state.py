@@ -141,6 +141,10 @@ def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None):
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, Any], rng
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # Per-step key derived INSIDE the jit from the step counter: callers
+        # pass one base key for the whole run (per-step host-side fold_in
+        # would cost an eager dispatch per step).
+        rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
