@@ -87,7 +87,10 @@ def main():
     spec = spec_from_config(cfg)
     params = init_wavenet(jax.random.PRNGKey(0), spec)
 
-    B = int(os.environ.get("BENCH_BATCH", 8))
+    # default 32 = the reference recipes' inference batch (run.sh:31);
+    # per-step cost is latency-bound so batch rides nearly free up to the
+    # VMEM limit (bf16 weights + bf16 ring buffers + streamed cond)
+    B = int(os.environ.get("BENCH_BATCH", 32))
     seconds = float(os.environ.get("BENCH_SECONDS", 1.0))
     hop = cfg.hop_size
     frames = int(seconds * cfg.sample_rate) // hop

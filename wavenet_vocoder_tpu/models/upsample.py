@@ -55,10 +55,26 @@ def init_upsample_network(rng, *, upsample_scales: Sequence[int],
 _conv2d_kernel = conv_kernel
 
 
+_ACTIVATIONS = {
+    "none": None,
+    "ReLU": jax.nn.relu,
+    "LeakyReLU": jax.nn.leaky_relu,
+    "Tanh": jnp.tanh,
+    "Sigmoid": jax.nn.sigmoid,
+}
+
+
 def apply_upsample_network(p: Params, c: jnp.ndarray, *,
                            upsample_scales: Sequence[int],
-                           cin_pad: int = 0, **_unused) -> jnp.ndarray:
-    """c: (B, T_mel, C_mel) -> (B, T_mel * prod(scales) - 2*indent, C_mel)."""
+                           cin_pad: int = 0,
+                           upsample_activation: str = "none",
+                           upsample_activation_params: dict = {},
+                           **_unused) -> jnp.ndarray:
+    """c: (B, T_mel, C_mel) -> (B, T_mel * prod(scales) - 2*indent, C_mel).
+
+    Optional per-scale nonlinearity selected by torch-style name
+    (reference: upsample.py:24-26, 47-49)."""
+    act = _ACTIVATIONS[upsample_activation]
     x = c[..., None]  # (B, T, C, 1) NHWC: H=time, W=freq
     for scale, cp in zip(upsample_scales, p["convs"]):
         scale = int(scale)
@@ -72,6 +88,8 @@ def apply_upsample_network(p: Params, c: jnp.ndarray, *,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=x.dtype,
         )
+        if act is not None:
+            x = act(x, **upsample_activation_params)
     x = x[..., 0]  # (B, T, C)
     indent = int(cin_pad) * int(np.prod(upsample_scales))
     if indent > 0:
@@ -112,8 +130,11 @@ def apply_conv_in_upsample_network(p: Params, c: jnp.ndarray, *,
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=c.dtype,
     )
-    return apply_upsample_network(p["upsample"], x,
-                                  upsample_scales=upsample_scales, cin_pad=0)
+    return apply_upsample_network(
+        p["upsample"], x, upsample_scales=upsample_scales, cin_pad=0,
+        upsample_activation=_unused.get("upsample_activation", "none"),
+        upsample_activation_params=_unused.get(
+            "upsample_activation_params", {}))
 
 
 UPSAMPLE_NETS = {

@@ -70,6 +70,7 @@ class WaveNetSpec:
     upsample_conditional_features: bool = False
     upsample_net: str = "ConvInUpsampleNetwork"
     upsample_scales: Tuple[int, ...] = (4, 4, 4, 4)
+    upsample_activation: str = "none"
     freq_axis_kernel_size: int = 1
     cin_pad: int = 0
     scalar_input: bool = False
@@ -129,6 +130,7 @@ def spec_from_config(cfg: Config) -> WaveNetSpec:
         upsample_conditional_features=cfg.upsample_conditional_features,
         upsample_net=cfg.upsample_net,
         upsample_scales=tuple(upsample_params.get("upsample_scales", (4, 4, 4, 4))),
+        upsample_activation=str(upsample_params.get("upsample_activation", "none")),
         freq_axis_kernel_size=int(upsample_params.get("freq_axis_kernel_size", 1)),
         cin_pad=cfg.cin_pad,
         scalar_input=cfg.is_scalar_input,
@@ -211,7 +213,8 @@ def upsample_conditioning(params: Params, spec: WaveNetSpec,
     _, apply_fn = upsample_lib.UPSAMPLE_NETS[spec.upsample_net]
     return apply_fn(params["upsample_net"], c,
                     upsample_scales=spec.upsample_scales,
-                    cin_pad=spec.cin_pad)
+                    cin_pad=spec.cin_pad,
+                    upsample_activation=spec.upsample_activation)
 
 
 # ----------------------------------------------------------------------

@@ -158,7 +158,7 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                w_og_ref, b_og_ref,            # (L, G2, R+S), (L, R+S)
                w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
                out_ref,                       # (chunk, B) f32 or int32
-               buf_ref,                       # scratch (total_rows, B, R) f32
+               buf_ref,                       # scratch (total_rows, B, R)
                x_cur_ref):                    # scratch (B, C_in) f32
         i = pl.program_id(0)
 
@@ -190,11 +190,13 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                 for jj in range(k - 1, 0, -1):
                     row = off + (t - jj * d) % Ll
                     taps.append(buf_ref[pl.ds(row, 1)][0])   # (B, R) f32
-                # write current input AFTER reads (evicts x[t - Ll])
-                buf_ref[pl.ds(off + t % Ll, 1)] = h[None]
-                taps.append(h)
+                # write current input AFTER reads (evicts x[t - Ll]).
+                # Buffer storage may be bf16: past taps only ever feed
+                # matmuls of that dtype, so narrowing loses nothing.
+                buf_ref[pl.ds(off + t % Ll, 1)] = h[None].astype(buf_ref.dtype)
+                taps.append(h.astype(buf_ref.dtype))
                 if has_cond:
-                    taps.append(ct)
+                    taps.append(ct.astype(buf_ref.dtype))
                 inp = jnp.concatenate(taps, axis=-1)   # (B, k*R [+cin])
 
                 z = jnp.dot(inp.astype(w_in_ref.dtype), w_in_ref[li],
@@ -303,12 +305,16 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
         log_scale_min=log_scale_min, deterministic=deterministic)
 
     if has_cond:
-        cond_tm = jnp.swapaxes(c_up, 0, 1).astype(jnp.float32)  # (T, B, cin)
+        # conditioning stream in the weight dtype: bf16 halves the per-chunk
+        # DMA and VMEM for the flagship path (it feeds a matmul of the same
+        # dtype in the kernel); f32 weight packs keep f32 cond for the
+        # equivalence tests
+        cond_tm = jnp.swapaxes(c_up, 0, 1).astype(packed["w_in"].dtype)
         cond_spec = pl.BlockSpec((chunk, B, cond_tm.shape[-1]),
                                  lambda i, seed: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        cond_tm = jnp.zeros((1, 1, 1), jnp.float32)
+        cond_tm = jnp.zeros((1, 1, 1), packed["w_in"].dtype)
         cond_spec = pl.BlockSpec((1, 1, 1), lambda i, seed: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
@@ -330,7 +336,10 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
         out_specs=pl.BlockSpec((chunk, B), lambda i, seed: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((total_rows, B, spec.residual_channels), jnp.float32),
+            # ring buffers in the weight dtype (bf16 for production: taps are
+            # matmul inputs of that dtype; halves buffer VMEM, enabling B=32)
+            pltpu.VMEM((total_rows, B, spec.residual_channels),
+                       packed["w_in"].dtype),
             pltpu.VMEM((B, spec.in_channels), jnp.float32),
         ],
     )
