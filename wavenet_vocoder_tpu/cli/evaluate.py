@@ -43,10 +43,32 @@ def main(argv=None) -> None:
     os.makedirs(args.out_dir, exist_ok=True)
 
     feats = sorted(glob(os.path.join(args.dump_dir, "*-feats.npy")))
-    if args.num_utterances:
-        feats = feats[:args.num_utterances]
     if not feats:
         raise SystemExit(f"No *-feats.npy under {args.dump_dir}")
+
+    # speaker ids from the manifest when multi-speaker
+    # (reference: evaluate.py:173-196 per-speaker counting)
+    speaker_of = {}
+    manifest = os.path.join(args.dump_dir, "train.txt")
+    if os.path.exists(manifest):
+        from wavenet_vocoder_tpu.data import parse_manifest
+        for u in parse_manifest(manifest):
+            if u.speaker_id is not None:
+                speaker_of[os.path.basename(u.feat_path)] = u.speaker_id
+    multi_speaker = bool(speaker_of)
+
+    if args.num_utterances:
+        if multi_speaker:
+            counts: dict = {}
+            kept = []
+            for f in feats:
+                sid = speaker_of.get(os.path.basename(f))
+                if counts.get(sid, 0) < args.num_utterances:
+                    counts[sid] = counts.get(sid, 0) + 1
+                    kept.append(f)
+            feats = kept
+        else:
+            feats = feats[:args.num_utterances]
     batch_size = args.batch_size or 8
     hop = audio.get_hop_size(cfg)
     mu = cfg.quantize_channels - 1
@@ -62,12 +84,20 @@ def main(argv=None) -> None:
             if m.shape[0] < max_len:  # replicate-pad ragged tails
                 c[j, m.shape[0]:] = m[-1]
         c = pad_mel_context(c, cfg.cin_pad)
-        g = (np.full(len(mels), args.speaker_id, np.int32)
-             if args.speaker_id is not None else None)
+        if args.speaker_id is not None:
+            g = np.full(len(mels), args.speaker_id, np.int32)
+        elif multi_speaker and spec.has_global_conditioning:
+            g = np.asarray([speaker_of.get(os.path.basename(f), 0)
+                            for f in chunk], np.int32)
+        else:
+            g = None
         wavs = batch_wavegen(params, cfg, spec=spec, c=c, g=g,
                              rng=jax.random.fold_in(rng, i))
         for j, fpath in enumerate(chunk):
             name = os.path.basename(fpath).replace("-feats.npy", "")
+            if g is not None and multi_speaker:
+                # (reference: evaluate.py:208-220 speaker-prefixed names)
+                name = f"speaker{int(g[j])}_{name}"
             T_j = mels[j].shape[0] * hop
             audio.save_wav(wavs[j][:T_j],
                            os.path.join(args.out_dir, f"{name}_gen.wav"),

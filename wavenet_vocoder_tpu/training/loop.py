@@ -184,6 +184,8 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
         print(f"Training data-parallel over mesh {dict(mesh.shape)}")
 
     train_step, eval_step = make_train_step(cfg, spec)
+    from wavenet_vocoder_tpu.training.train_state import sanity_check
+    _checked = False
     writer = MetricWriter(log_event_path or
                           os.path.join(checkpoint_dir, "log"))
     rng = jax.random.PRNGKey(cfg.seed)
@@ -196,6 +198,9 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                 train = phase == "train_no_dev"
                 running, n_batches = 0.0, 0
                 for batch in loader:
+                    if not _checked:
+                        sanity_check(spec, batch)
+                        _checked = True
                     if mesh is not None:
                         batch = shard_batch(batch, mesh)
                     if train:

@@ -109,6 +109,31 @@ def ema_update(ema, params, decay: float):
     return jax.tree.map(lambda s, p: s - (1.0 - decay) * (s - p), ema, params)
 
 
+def sanity_check(spec: WaveNetSpec, batch: Dict[str, Any]) -> None:
+    """Model-vs-batch conditioning consistency (reference: train.py:72-87):
+    catch config/data mismatches with clear errors before tracing."""
+    has_c = batch.get("c") is not None
+    has_g = batch.get("g") is not None
+    if has_c and not spec.has_local_conditioning:
+        raise ValueError(
+            "Batch has local conditioning but cin_channels <= 0 "
+            "(reference: train.py:76-80)")
+    if not has_c and spec.has_local_conditioning:
+        raise ValueError(
+            "cin_channels > 0 but batch has no local conditioning features")
+    if has_g and not spec.has_global_conditioning:
+        raise ValueError(
+            "Batch has speaker ids but gin_channels <= 0 "
+            "(reference: train.py:81-85)")
+    if not has_g and spec.has_global_conditioning:
+        raise ValueError(
+            "gin_channels > 0 but batch has no global conditioning")
+    if has_c and batch["c"].shape[-1] != spec.cin_channels:
+        raise ValueError(
+            f"conditioning feature dim {batch['c'].shape[-1]} != "
+            f"cin_channels {spec.cin_channels}")
+
+
 def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None):
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
