@@ -253,3 +253,20 @@ def test_restore_parts_shape_mismatch(tmp_path):
         np.asarray(state.params["blocks"][0]["conv"]["v"]))
     assert (np.asarray(restored["first_conv"]["v"]).shape
             == np.asarray(state2.params["first_conv"]["v"]).shape)
+
+
+def test_remat_matches_no_remat():
+    # jax.checkpoint must not change values, only memory/FLOPs
+    cfg = _tiny_cfg()
+    cfg_r = _tiny_cfg(remat=True)
+    s1 = create_train_state(cfg)
+    s2 = create_train_state(cfg_r)
+    step1, _ = make_train_step(cfg)
+    step2, _ = make_train_step(cfg_r)
+    batch = _batch()
+    k = jax.random.PRNGKey(0)
+    s1, m1 = step1(s1, batch, k)
+    s2, m2 = step2(s2, batch, k)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -41,6 +41,10 @@ def main(argv=None) -> None:
         args.checkpoint, args.preset, args.hparams)
     spec = spec_from_config(cfg)
     os.makedirs(args.out_dir, exist_ok=True)
+    # fold weight norm ONCE (make_generation_fast_; reference:
+    # synthesis.py:48-49), not per batch
+    from wavenet_vocoder_tpu.models.wavenet import make_generation_fast
+    params = make_generation_fast(params)
 
     feats = sorted(glob(os.path.join(args.dump_dir, "*-feats.npy")))
     if not feats:
@@ -92,7 +96,7 @@ def main(argv=None) -> None:
         else:
             g = None
         wavs = batch_wavegen(params, cfg, spec=spec, c=c, g=g,
-                             rng=jax.random.fold_in(rng, i))
+                             rng=jax.random.fold_in(rng, i), fast=False)
         for j, fpath in enumerate(chunk):
             name = os.path.basename(fpath).replace("-feats.npy", "")
             if g is not None and multi_speaker:

@@ -114,6 +114,10 @@ class Config:
     # -- TPU-native additions (no reference equivalent) --
     # Computation dtype for the conv stack; losses/heads always accumulate f32.
     compute_dtype: str = "bfloat16"
+    # Rematerialize residual blocks in backward (jax.checkpoint): trades
+    # ~30% more FLOPs for O(layers) less activation memory — for long crops
+    # or wide models.
+    remat: bool = False
     # Mesh shape spec for training, e.g. {"data": -1} (fill all devices).
     mesh_axes: Dict[str, int] = field(default_factory=lambda: {"data": -1})
     # Random seed for param init / data shuffling.

@@ -76,6 +76,7 @@ class WaveNetSpec:
     scalar_input: bool = False
     use_speaker_embedding: bool = False
     output_distribution: str = "Logistic"
+    remat: bool = False
 
     def __post_init__(self):
         assert self.layers % self.stacks == 0
@@ -136,6 +137,7 @@ def spec_from_config(cfg: Config) -> WaveNetSpec:
         scalar_input=cfg.is_scalar_input,
         use_speaker_embedding=cfg.use_speaker_embedding,
         output_distribution=cfg.output_distribution,
+        remat=cfg.remat,
     )
 
 
@@ -258,8 +260,14 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
                  if (train and spec.dropout > 0 and rng is not None) else
                  [None] * spec.layers)
     for block_p, dilation, k in zip(params["blocks"], spec.dilations, drop_keys):
-        x, h = res_block(block_p, x, c, g_exp, dilation=dilation,
-                         dropout=spec.dropout if train else 0.0, rng=k)
+        def blk(bp, x_, c_, g_, _d=dilation, _k=k):
+            return res_block(bp, x_, c_, g_, dilation=_d,
+                             dropout=spec.dropout if train else 0.0, rng=_k)
+        if spec.remat:
+            # recompute block activations in backward (jax.checkpoint):
+            # O(layers) less live memory for long crops
+            blk = jax.checkpoint(blk)
+        x, h = blk(block_p, x, c, g_exp)
         skips = h if skips is None else skips + h
     skips = skips * math.sqrt(1.0 / spec.layers)  # (reference: wavenet.py:205)
 
