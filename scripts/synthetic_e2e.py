@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""End-to-end quality validation on synthetic audio.
+
+Builds a corpus of harmonic tones with per-utterance F0, trains a mid-size
+mu-law WaveNet conditioned on log-mel until the loss drops well below the
+unconditional entropy, then free-runs generation from a HELD-OUT utterance's
+mel and checks the generated waveform's dominant frequency matches that
+utterance's F0 — i.e. the model actually uses its conditioning.
+
+This is the closest available stand-in for perceptual validation in a
+zero-egress environment with no speech corpus. Run on TPU:
+    python scripts/synthetic_e2e.py [--steps N]
+"""
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def make_utterance(f0: float, sr: int, seconds: float, rs) -> np.ndarray:
+    t = np.arange(int(sr * seconds)) / sr
+    x = np.zeros_like(t)
+    for h, amp in ((1, 1.0), (2, 0.5), (3, 0.25)):
+        x += amp * np.sin(2 * np.pi * f0 * h * t + rs.uniform(0, 6.28))
+    # slow amplitude modulation so mels vary over time
+    x *= 0.35 * (0.6 + 0.4 * np.sin(2 * np.pi * 2.0 * t))
+    return x.astype(np.float32)
+
+
+def dominant_f0(x: np.ndarray, sr: int) -> float:
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    freqs = np.fft.rfftfreq(len(x), 1 / sr)
+    lo = freqs > 60
+    return float(freqs[lo][np.argmax(spec[lo])])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--sr", type=int, default=16000)
+    args = ap.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.dsp import audio as dsp
+    from wavenet_vocoder_tpu.models.wavenet import spec_from_config
+    from wavenet_vocoder_tpu.ops.mulaw import mulaw_quantize
+    from wavenet_vocoder_tpu.synthesis import batch_wavegen, pad_mel_context
+    from wavenet_vocoder_tpu.training.train_state import (
+        create_train_state, make_train_step)
+
+    sr = args.sr
+    cfg = Config(
+        input_type="mulaw-quantize", quantize_channels=256, out_channels=256,
+        sample_rate=sr, fft_size=512, hop_size=128, win_length=512,
+        num_mels=40, fmin=60, fmax=7600, cin_channels=40, cin_pad=2,
+        layers=12, stacks=2, residual_channels=64, gate_channels=128,
+        skip_out_channels=64, max_time_steps=4096,
+        upsample_conditional_features=True,
+        upsample_params={"upsample_scales": [4, 4, 8]},
+        batch_size=8, lr_schedule="",
+        optimizer_params={"lr": 5e-4, "eps": 1e-8, "weight_decay": 0.0})
+    spec = spec_from_config(cfg)
+    print(f"model: {cfg.layers}L/{cfg.stacks}S r{cfg.residual_channels} "
+          f"rf={spec.receptive_field}", flush=True)
+
+    # corpus: 8 train F0s + 1 held-out
+    rs = np.random.RandomState(0)
+    f0s = [110, 147, 196, 262, 330, 392, 440, 523]
+    f0_test = 220.0
+    mu = cfg.quantize_channels - 1
+    hop = cfg.hop_size
+
+    def featurize(wav):
+        mel = dsp.logmelspectrogram(wav, cfg)
+        codes = mulaw_quantize(np.clip(wav, -1, 1), mu)
+        n = min(len(codes) // hop, mel.shape[0])
+        return codes[:n * hop], mel[:n]
+
+    train_data = [featurize(make_utterance(f, sr, 2.0, rs)) for f in f0s]
+    test_wav = make_utterance(f0_test, sr, 1.5, rs)
+    _, test_mel = featurize(test_wav)
+
+    # fixed crops per step, drawn randomly
+    T = cfg.max_time_steps
+    frames = T // hop
+    eye = np.eye(256, dtype=np.float32)
+
+    def sample_batch(step_rs):
+        xs, ys, cs = [], [], []
+        for _ in range(cfg.batch_size):
+            codes, mel = train_data[step_rs.randint(len(train_data))]
+            max_s = mel.shape[0] - frames - cfg.cin_pad
+            s = step_rs.randint(cfg.cin_pad, max_s)
+            xs.append(eye[codes[s * hop:(s + frames) * hop]])
+            ys.append(codes[s * hop:(s + frames) * hop])
+            cs.append(mel[s - cfg.cin_pad:s + frames + cfg.cin_pad])
+        return {"x": np.stack(xs), "y": np.stack(ys).astype(np.int32),
+                "c": np.stack(cs).astype(np.float32),
+                "input_lengths": np.full(cfg.batch_size, T, np.int32)}
+
+    state = create_train_state(cfg)
+    step_fn, _ = make_train_step(cfg, spec)
+    key = jax.device_put(jax.random.PRNGKey(0))
+    srs = np.random.RandomState(1)
+
+    t0 = time.time()
+    first = None
+    for i in range(args.steps):
+        batch = jax.device_put(sample_batch(srs))
+        state, m = step_fn(state, batch, key)
+        if i % 200 == 0 or i == args.steps - 1:
+            loss = float(m["loss"])
+            first = first if first is not None else loss
+            print(f"step {i}: loss {loss:.3f} "
+                  f"({(i + 1) / (time.time() - t0):.1f} steps/s)", flush=True)
+    final_loss = float(m["loss"])
+
+    # generate from the held-out mel with the EMA model
+    params = jax.device_get(state.ema_params)
+    c = pad_mel_context(test_mel[None].astype(np.float32), cfg.cin_pad)
+    wav = batch_wavegen(params, cfg, spec=spec, c=c,
+                        rng=jax.random.PRNGKey(42))[0]
+
+    f0_gen = dominant_f0(wav[2000:], sr)
+    f0_ref = dominant_f0(test_wav, sr)
+    print(f"\nloss: {first:.3f} -> {final_loss:.3f}")
+    print(f"held-out F0: reference {f0_ref:.1f} Hz, generated {f0_gen:.1f} Hz")
+    dsp.save_wav(wav, "/tmp/synthetic_e2e_gen.wav", sr)
+    print("wrote /tmp/synthetic_e2e_gen.wav")
+
+    ok_loss = final_loss < first * 0.5
+    ok_f0 = abs(f0_gen - f0_ref) < 0.15 * f0_ref
+    print(f"loss-drop check: {'PASS' if ok_loss else 'FAIL'}; "
+          f"F0-tracking check: {'PASS' if ok_f0 else 'FAIL'}")
+    return 0 if (ok_loss and ok_f0) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,18 +100,20 @@ def _sample_next(spec: WaveNetSpec, key, out: jnp.ndarray, *,
             raise ValueError(spec.output_distribution)
         s = s[:, None]  # (B, 1)
         return s, s
-    probs = jax.nn.softmax(out, axis=-1) if softmax else out
     if quantize:
-        idx = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-12))
-                                     if softmax else out, axis=-1)
+        # softmax=True: out is logits -> categorical(out) samples softmax(out)
+        # softmax=False: out is already probabilities -> sample via log-probs
+        logits = out if softmax else jnp.log(jnp.maximum(out, 1e-12))
+        idx = jax.random.categorical(key, logits, axis=-1)
         one_hot = jax.nn.one_hot(idx, spec.out_channels, dtype=out.dtype)
         return one_hot, one_hot
+    probs = jax.nn.softmax(out, axis=-1) if softmax else out
     return probs, probs
 
 
 @partial(jax.jit, static_argnames=(
     "spec", "T", "softmax", "quantize", "output", "log_scale_min",
-    "deterministic"))
+    "deterministic", "dtype"))
 def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
                    c_up: Optional[jnp.ndarray],
                    g_vec: Optional[jnp.ndarray],
@@ -120,9 +122,26 @@ def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
                    n_test: Optional[jnp.ndarray],
                    softmax: bool, quantize: bool,
                    log_scale_min: float, output: str,
-                   deterministic: bool = False):
-    """The compiled scan. All conditioning pre-sliced to time-major xs."""
+                   deterministic: bool = False,
+                   dtype=None):
+    """The compiled scan. All conditioning pre-sliced to time-major xs.
+
+    dtype: compute dtype for the per-step network (e.g. jnp.bfloat16 halves
+    the per-step HBM weight streaming — the scan engine's bottleneck); head
+    outputs and sampling stay f32.
+    """
     B = initial_input.shape[0]
+    if dtype is not None:
+        cast = lambda a: (a.astype(dtype)
+                          if jnp.issubdtype(a.dtype, jnp.floating) else a)
+        params = jax.tree.map(cast, params)
+        initial_input = initial_input.astype(dtype)
+        if c_up is not None:
+            c_up = c_up.astype(dtype)
+        if g_vec is not None:
+            g_vec = g_vec.astype(dtype)
+        if test_inputs is not None:
+            test_inputs = test_inputs.astype(dtype)
     k = spec.kernel_size
     sqrt_inv_layers = math.sqrt(1.0 / spec.layers)
 
@@ -213,7 +232,8 @@ def generate(params: Params, spec: WaveNetSpec, rng, *,
              log_scale_min: float = -50.0,
              output: str = "samples",
              fold_weight_norm: bool = True,
-             deterministic: bool = False) -> Dict[str, jnp.ndarray]:
+             deterministic: bool = False,
+             dtype=None) -> Dict[str, jnp.ndarray]:
     """Autoregressive generation (reference: wavenet.py:215-343).
 
     Args:
@@ -276,4 +296,4 @@ def generate(params: Params, spec: WaveNetSpec, rng, *,
         initial_input=initial_input, test_inputs=test_inputs, n_test=n_test,
         softmax=softmax, quantize=quantize,
         log_scale_min=float(log_scale_min), output=output,
-        deterministic=deterministic)
+        deterministic=deterministic, dtype=dtype)

@@ -145,7 +145,6 @@ def wavegen(params: Params, cfg: Config, *,
             c_in = c[None]
         else:
             c_in = pad_mel_context(c[None], cfg.cin_pad)
-        g_in = None if g is None else np.asarray([g]).reshape(1, -1)
         wav = batch_wavegen(params, cfg, spec=spec, c=c_in,
                             g=None if g is None else np.asarray([g]),
                             T=length, rng=rng, fast=fast)
