@@ -342,7 +342,23 @@ class DataLoader:
             for idx_batch in self.sampler:
                 yield make(idx_batch)
             return
+        # bounded prefetch: keep at most 2*num_workers collated batches in
+        # flight (submitting everything upfront would hold the whole epoch's
+        # batches in host memory)
+        from collections import deque
+        depth = 2 * self.num_workers
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            futures = [pool.submit(make, b) for b in self.sampler]
-            for fut in futures:
+            pending = deque()
+            it = iter(self.sampler)
+            try:
+                for _ in range(depth):
+                    pending.append(pool.submit(make, next(it)))
+            except StopIteration:
+                pass
+            while pending:
+                fut = pending.popleft()
+                try:
+                    pending.append(pool.submit(make, next(it)))
+                except StopIteration:
+                    pass
                 yield fut.result()

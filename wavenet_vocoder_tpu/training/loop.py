@@ -150,7 +150,8 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                reset_optimizer: bool = False,
                speaker_id: Optional[int] = None,
                max_steps_override: Optional[int] = None,
-               use_mesh: bool = True) -> TrainState:
+               use_mesh: bool = True,
+               log_interval: int = 10) -> TrainState:
     """Full training entry (reference: train.py:1035-1114)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     # dump effective config next to checkpoints (reference: train.py:1065-1067)
@@ -209,14 +210,21 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                         # inside the jitted step
                         state, metrics = train_step(state, batch, rng)
                         global_step += 1
-                        loss = float(metrics["loss"])
-                        writer.scalar("train/loss", loss, global_step)
-                        writer.scalar("train/grad_norm",
-                                      float(metrics["grad_norm"]), global_step)
-                        writer.scalar("train/lr", float(metrics["lr"]),
-                                      global_step)
-                        writer.scalar("train/step_time_s",
-                                      time.time() - t0, global_step)
+                        # fetching scalars forces a device sync (expensive
+                        # under remote relays): log on an interval, let other
+                        # steps stay fully async
+                        if global_step % log_interval == 0 or global_step == 1:
+                            loss = float(metrics["loss"])
+                            writer.scalar("train/loss", loss, global_step)
+                            writer.scalar("train/grad_norm",
+                                          float(metrics["grad_norm"]),
+                                          global_step)
+                            writer.scalar("train/lr", float(metrics["lr"]),
+                                          global_step)
+                            writer.scalar("train/step_time_s",
+                                          time.time() - t0, global_step)
+                        else:
+                            loss = None
                         if global_step % cfg.checkpoint_interval == 0:
                             ckpt_lib.save_checkpoint(
                                 checkpoint_dir, state,
@@ -239,8 +247,9 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                         loss = float(metrics["loss"])
                         global_test_step += 1
                         writer.scalar("dev/loss", loss, global_test_step)
-                    running += loss
-                    n_batches += 1
+                    if loss is not None:
+                        running += loss
+                        n_batches += 1
                 if n_batches:
                     avg = running / n_batches
                     writer.scalar(f"{phase}/epoch_loss", avg, global_epoch)
