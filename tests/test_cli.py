@@ -149,3 +149,22 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape[-1] == 30  # MoL head
     ge.dryrun_multichip(8)
+
+
+def test_evaluate_cli_mel_only(workdir, trained, tmp_path):
+    """Feats-only dir (no *-wave.npy): synthesize from features alone,
+    no ref wavs (reference: evaluate.py:51-78 dummy_collate mode)."""
+    import shutil
+    from glob import glob
+    from wavenet_vocoder_tpu.cli.evaluate import main
+    mel_dir = str(tmp_path / "mel_only")
+    os.makedirs(mel_dir)
+    for f in glob(str(workdir["root"] / "norm" / "train_no_dev"
+                      / "*-feats.npy"))[:2]:
+        shutil.copy(f, mel_dir)
+    ckpt = os.path.join(trained, "checkpoint_latest_ema.pkl")
+    out = str(tmp_path / "gen_mel_only")
+    main([mel_dir, ckpt, out, "--batch-size", "2"])
+    files = os.listdir(out)
+    assert len([f for f in files if f.endswith("_gen.wav")]) == 2
+    assert not any(f.endswith("_ref.wav") for f in files)

@@ -207,3 +207,11 @@ def test_mksubset(tmp_path):
     assert stats["n_train"] == 4 and stats["n_dev"] == 1 and stats["n_eval"] == 1
     assert os.path.isdir(os.path.join(out, "train_no_dev"))
     assert len(os.listdir(os.path.join(out, "dev"))) == 1
+
+
+def test_collate_max_time_sec(dump_dir):
+    # max_time_sec overrides max_time_steps (reference: train.py:437-441)
+    cfg = CFG.replace(max_time_sec=0.08, max_time_steps=None)  # 1280 samples
+    ds = WaveNetDataset(dump_dir, cfg)
+    batch = collate_fn([ds[0]], cfg, rng=np.random.RandomState(0))
+    assert batch["x"].shape[1] == int(0.08 * cfg.sample_rate) // cfg.hop_size * cfg.hop_size

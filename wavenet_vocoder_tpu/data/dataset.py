@@ -269,11 +269,14 @@ def collate_fn(items: List[Tuple[np.ndarray, Optional[np.ndarray], Any]],
     mu = cfg.quantize_channels - 1
     if cfg.is_mulaw_quantize:
         pad_code = int(mulaw_quantize(np.zeros(1), mu)[0])
-        x_b = np.full((len(new_items), pad_len), pad_code, np.int64)
+        x_b = np.full((len(new_items), pad_len), pad_code, np.int32)
         for i, (x, _, _) in enumerate(new_items):
             x_b[i, :len(x)] = x
-        x_batch = np.eye(cfg.quantize_channels, dtype=np.float32)[x_b]
-        y_batch = x_b.astype(np.int32)
+        # one-hot via the native C++ hot loop when available
+        # (numpy fancy-indexing fallback inside)
+        from wavenet_vocoder_tpu.data import native
+        x_batch = native.onehot(x_b, cfg.quantize_channels)
+        y_batch = x_b
     else:
         x_batch = np.zeros((len(new_items), pad_len, 1), np.float32)
         for i, (x, _, _) in enumerate(new_items):

@@ -107,6 +107,11 @@ def batch_wavegen(params: Params, cfg: Config, *,
             g = jnp.asarray(g)
 
     if engine == "pallas":
+        if mesh is not None:
+            raise ValueError(
+                "engine='pallas' is single-chip (one fused kernel per "
+                "device); for multi-chip synthesis shard utterance groups "
+                "across processes or use engine='scan' with a mesh")
         from wavenet_vocoder_tpu.ops.pallas_generate import generate_pallas
         samples = generate_pallas(params, spec, rng, T=T, c=c, g=g,
                                   log_scale_min=cfg.log_scale_min)
