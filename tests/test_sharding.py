@@ -107,3 +107,39 @@ def test_sharded_generation_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(out_single["samples"]),
                                np.asarray(out_shard["samples"]), atol=1e-5)
+
+
+def test_tensor_parallel_matches_replicated():
+    """Gate-channel tensor parallelism (Megatron-style column/row rules) must
+    be numerically equivalent to replicated execution — XLA inserts the
+    collectives from the param shardings alone."""
+    from wavenet_vocoder_tpu.parallel.sharding import shard_params_tp
+    cfg = Config(**{**TINY, "gate_channels": 32, "cin_channels": 4,
+                    "upsample_conditional_features": False})
+    state = create_train_state(cfg)
+    train_step, _ = make_train_step(cfg)
+    rs = np.random.RandomState(0)
+    B, T = 8, 32
+    ids = rs.randint(0, 256, (B, T))
+    batch = {
+        "x": jnp.asarray(np.eye(256, dtype=np.float32)[ids]),
+        "y": jnp.asarray(ids, dtype=jnp.int32),
+        "c": jnp.asarray(rs.randn(B, T, 4), jnp.float32),
+        "input_lengths": jnp.asarray([T] * B, jnp.int32),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    s_repl, m_repl = train_step(state, batch, rng)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    state_tp = shard_state(create_train_state(cfg), mesh)
+    state_tp = state_tp.replace(
+        params=shard_params_tp(state_tp.params, mesh))
+    batch_sh = shard_batch(batch, mesh)
+    s_tp, m_tp = train_step(state_tp, batch_sh, rng)
+
+    np.testing.assert_allclose(float(m_repl["loss"]), float(m_tp["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_repl.params),
+                    jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

@@ -77,3 +77,62 @@ def data_parallel_batch_size(cfg_batch_size: int, mesh: Mesh,
 def shard_state(state, mesh: Mesh):
     """Replicate the full TrainState on the mesh."""
     return replicate(state, mesh)
+
+
+# ----------------------------------------------------------------------
+# Tensor parallelism over the gate-channel axis (for oversized configs)
+# ----------------------------------------------------------------------
+def wavenet_param_shardings(params: Any, mesh: Mesh,
+                            axis: str = "model") -> Any:
+    """Megatron-style sharding rules for the WaveNet param pytree.
+
+    Column-parallel on the gated projection (dilated conv + conditioning 1x1s
+    produce gate channels sharded over ``axis``), row-parallel on the
+    skip/out 1x1s (contract over the sharded gate dim — XLA inserts the
+    psum). First/last convs and embeddings replicate. With axis size 1 this
+    degenerates to full replication.
+
+    Returns a pytree of NamedShardings matching ``params``.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def block_rule(bp: dict) -> dict:
+        out = {}
+        for name, p in bp.items():
+            rules = {}
+            for k, v in p.items():
+                nd = np.ndim(v)
+                if name in ("conv", "cond_c", "cond_g"):
+                    # column-parallel: output (gate) axis sharded
+                    if k in ("v", "w"):
+                        rules[k] = NamedSharding(
+                            mesh, P(*([None] * (nd - 1) + [axis])))
+                    else:  # g, b are per-output-channel
+                        rules[k] = NamedSharding(mesh, P(axis))
+                elif name in ("skip", "out"):
+                    # row-parallel: input (gate/2) axis sharded
+                    if k in ("v", "w"):
+                        rules[k] = NamedSharding(
+                            mesh, P(*([None] * (nd - 2) + [axis, None])))
+                    elif k == "g":
+                        rules[k] = repl  # norm over sharded input -> keep g whole
+                    else:
+                        rules[k] = repl
+                else:
+                    rules[k] = repl
+            out[name] = rules
+        return out
+
+    shardings: dict = {}
+    for key, val in params.items():
+        if key == "blocks":
+            shardings[key] = [block_rule(bp) for bp in val]
+        else:
+            shardings[key] = jax.tree.map(lambda _: repl, val)
+    return shardings
+
+
+def shard_params_tp(params: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """Place params with tensor-parallel shardings (see
+    :func:`wavenet_param_shardings`)."""
+    return jax.device_put(params, wavenet_param_shardings(params, mesh, axis))
