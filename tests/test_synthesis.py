@@ -92,3 +92,22 @@ def test_wavegen_feature_repeat_path():
     wav = wavegen(params, cfg, spec=spec, c=c, rng=jax.random.PRNGKey(5))
     # features repeated hop times (reference: synthesis.py:128-146)
     assert wav.shape == (Tframes * cfg.hop_size,)
+
+
+def test_synthesizer_scan_engine():
+    # pack-once serving wrapper (pallas needs TPU; scan path tested here)
+    from wavenet_vocoder_tpu.synthesis import Synthesizer
+    import jax
+    cfg, spec, params = _setup(input_type="mulaw-quantize",
+                               quantize_channels=256, out_channels=256)
+    syn = Synthesizer(params, cfg, spec=spec, engine="scan")
+    B, Tmel = 2, 6
+    c = np.random.RandomState(0).randn(B, Tmel, 5).astype(np.float32)
+    wav = syn(c, rng=jax.random.PRNGKey(0))
+    # pad_context adds cin_pad internally -> full Tmel*hop samples
+    assert wav.shape == (B, Tmel * cfg.hop_size)
+    # deterministic per key; distinct keys differ
+    wav2 = syn(c, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(wav, wav2)
+    wav3 = syn(c, rng=jax.random.PRNGKey(1))
+    assert not np.array_equal(wav, wav3)

@@ -123,6 +123,51 @@ def batch_wavegen(params: Params, cfg: Config, *,
     return _decode(cfg, out["samples"])
 
 
+class Synthesizer:
+    """Pack-once serving wrapper: fold weight norm (and pre-pack the Pallas
+    kernel weights) at construction, then generate per request.
+
+    Per-call folding/packing costs dozens of host dispatches and dominates
+    the fused kernel's runtime — this is the API production serving should
+    use. ``engine="pallas"`` requires a TPU; ``"scan"`` runs anywhere.
+    """
+
+    def __init__(self, params: Params, cfg: Config, *,
+                 spec: Optional[WaveNetSpec] = None, engine: str = "pallas",
+                 weight_dtype=jnp.bfloat16):
+        from wavenet_vocoder_tpu.models.wavenet import make_generation_fast
+        self.cfg = cfg
+        self.spec = spec or spec_from_config(cfg)
+        self.engine = engine
+        if engine == "pallas":
+            from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
+            self._gen = PallasGenerator(params, self.spec,
+                                        weight_dtype=weight_dtype)
+            self._params = self._gen.params
+        elif engine == "scan":
+            self._gen = None
+            self._params = jax.device_put(make_generation_fast(params))
+        else:
+            raise ValueError(engine)
+
+    def __call__(self, c: Optional[np.ndarray] = None, *,
+                 g: Optional[np.ndarray] = None, T: Optional[int] = None,
+                 rng=None, pad_context: bool = True) -> np.ndarray:
+        """mel (B, T_mel, D) [without cin_pad context when pad_context]
+        -> (B, T) float32 waveforms."""
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if c is not None and pad_context:
+            c = pad_mel_context(np.asarray(c, np.float32), cfg.cin_pad)
+        if self.engine == "pallas":
+            samples = self._gen(rng, T=T, c=None if c is None else
+                                jnp.asarray(c), g=g,
+                                log_scale_min=cfg.log_scale_min)
+            return _decode(cfg, samples)
+        return batch_wavegen(self._params, cfg, spec=self.spec, c=c, g=g,
+                             T=T, rng=rng, fast=False)
+
+
 def wavegen(params: Params, cfg: Config, *,
             spec: Optional[WaveNetSpec] = None,
             length: Optional[int] = None,
