@@ -102,8 +102,17 @@ def main():
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     if engine == "pallas":
-        from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
-        gen = PallasGenerator(params, spec)  # pack weights ONCE
+        from wavenet_vocoder_tpu.ops.pallas_generate import (
+            DEFAULT_CHUNK, PallasGenerator)
+        chunk = int(os.environ.get("BENCH_CHUNK", DEFAULT_CHUNK))
+        vmem_mb = os.environ.get("BENCH_VMEM_MB")
+        gen = PallasGenerator(  # pack weights ONCE
+            params, spec, chunk=chunk,
+            vmem_limit_bytes=None if vmem_mb is None
+            else int(float(vmem_mb) * 2 ** 20))
+        est = gen.estimate_vmem_bytes(B)
+        print(f"# pallas vmem estimate: {est / 2**20:.1f} MiB "
+              f"(B={B}, chunk={chunk})", file=sys.stderr)
 
         def run(key):
             s = gen(key, c=c, log_scale_min=cfg.log_scale_min)

@@ -132,7 +132,7 @@ def _uniform_from_bits(bits, lo=1e-5):
 
 
 def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
-                 log_scale_min: float, deterministic: bool):
+                 has_gate: bool, log_scale_min: float, deterministic: bool):
     """Build the kernel body (closure over static structure)."""
     L = spec.layers
     k = spec.kernel_size
@@ -152,7 +152,7 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
     def kernel(seed_ref,                      # SMEM (1,)
                x0_ref,                        # (B, C_in)
                cond_ref,                      # (chunk, B, cin) or (1, 1, 1)
-               g_gate_ref,                    # (L, B, G) (zeros if unused)
+               g_gate_ref,                    # (L, B, G) or (1, 1, 1) dummy
                w_first_ref, b_first_ref,
                w_in_ref, b_in_ref,            # (L, k*R[+cin], G), (L, G)
                w_og_ref, b_og_ref,            # (L, G2, R+S), (L, R+S)
@@ -201,7 +201,9 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
 
                 z = jnp.dot(inp.astype(w_in_ref.dtype), w_in_ref[li],
                             preferred_element_type=jnp.float32)
-                z = z + b_in_ref[li] + g_gate_ref[li]
+                z = z + b_in_ref[li]
+                if has_gate:
+                    z = z + g_gate_ref[li]
                 a, b = z[:, :G2], z[:, G2:]
                 gated = jnp.tanh(a) * jax.nn.sigmoid(b)      # (B, G2) f32
 
@@ -284,24 +286,28 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
 
 
 @partial(jax.jit, static_argnames=("spec", "T", "chunk", "log_scale_min",
-                                   "deterministic", "interpret"))
+                                   "deterministic", "interpret",
+                                   "vmem_limit_bytes"))
 def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          spec: WaveNetSpec, *, T: int,
                          c_up: Optional[jnp.ndarray],
-                         g_gate: jnp.ndarray,
+                         g_gate: Optional[jnp.ndarray],
                          x0: jnp.ndarray,
                          seed: jnp.ndarray,
                          chunk: int,
                          log_scale_min: float,
                          deterministic: bool,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         vmem_limit_bytes: Optional[int] = None
+                         ) -> jnp.ndarray:
     B = x0.shape[0]
     has_cond = c_up is not None
+    has_gate = g_gate is not None
     n_chunks = T // chunk
     assert n_chunks * chunk == T
 
     kernel, total_rows = _make_kernel(
-        spec, B=B, chunk=chunk, has_cond=has_cond,
+        spec, B=B, chunk=chunk, has_cond=has_cond, has_gate=has_gate,
         log_scale_min=log_scale_min, deterministic=deterministic)
 
     if has_cond:
@@ -320,6 +326,11 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out_dtype = jnp.float32 if spec.scalar_input else jnp.int32
+
+    if not has_gate:
+        # no global conditioning: tiny dummy instead of an (L, B, G) zeros
+        # buffer pinned in VMEM for the whole generation
+        g_gate = jnp.zeros((1, 1, 1), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -344,11 +355,17 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
         ],
     )
 
+    compiler_params = None
+    if vmem_limit_bytes is not None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, B), out_dtype),
         interpret=interpret,
+        compiler_params=compiler_params,
     )(seed, x0, cond_tm, g_gate,
       packed["w_first"], packed["b_first"],
       packed["w_in"], packed["b_in"],
@@ -367,12 +384,29 @@ class PallasGenerator:
     """
 
     def __init__(self, params: Params, spec: WaveNetSpec, *,
-                 weight_dtype=jnp.bfloat16, chunk: int = DEFAULT_CHUNK):
+                 weight_dtype=jnp.bfloat16, chunk: int = DEFAULT_CHUNK,
+                 vmem_limit_bytes: Optional[int] = None):
         self.spec = spec
         self.chunk = chunk
+        self.vmem_limit_bytes = vmem_limit_bytes
         self.params = make_generation_fast(params)
         self.packed = jax.device_put(
             pack_weights(self.params, spec, dtype=weight_dtype))
+
+    def estimate_vmem_bytes(self, B: int) -> int:
+        """Rough VMEM footprint: packed weights + ring buffers + double-
+        buffered cond chunks + head/out — used to pick batch/chunk sizes."""
+        spec, chunk = self.spec, self.chunk
+        wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                     for a in jax.tree.leaves(self.packed))
+        _, total_rows = buffer_layout(spec)
+        itm = self.packed["w_in"].dtype.itemsize
+        ring = total_rows * B * spec.residual_channels * itm
+        cond = 0
+        if spec.has_local_conditioning:
+            cond = 2 * chunk * B * spec.cin_channels * itm
+        out = 2 * chunk * B * 4
+        return wbytes + ring + cond + out
 
     def __call__(self, rng, *, T: Optional[int] = None,
                  c: Optional[jnp.ndarray] = None,
@@ -411,8 +445,7 @@ class PallasGenerator:
                 conv1x1(bp["cond_g"], g_vec).astype(jnp.float32)
                 for bp in params["blocks"]])              # (L, B, G)
         else:
-            g_gate = jnp.zeros((spec.layers, B, spec.gate_channels),
-                               jnp.float32)
+            g_gate = None
 
         if initial_input is None:
             if spec.scalar_input:
@@ -429,7 +462,8 @@ class PallasGenerator:
         out = _pallas_generate_jit(
             self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate, x0=x0,
             seed=seed, chunk=chunk, log_scale_min=float(log_scale_min),
-            deterministic=deterministic, interpret=interpret)
+            deterministic=deterministic, interpret=interpret,
+            vmem_limit_bytes=self.vmem_limit_bytes)
         return out[:, :T]
 
 
