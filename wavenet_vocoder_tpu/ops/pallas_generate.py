@@ -132,7 +132,8 @@ def _uniform_from_bits(bits, lo=1e-5):
 
 
 def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
-                 has_gate: bool, log_scale_min: float, deterministic: bool):
+                 has_gate: bool, log_scale_min: float, deterministic: bool,
+                 split_taps: bool = False):
     """Build the kernel body (closure over static structure)."""
     L = spec.layers
     k = spec.kernel_size
@@ -142,6 +143,7 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
     S = spec.skip_out_channels
     C_out = spec.out_channels
     C_in = spec.in_channels
+    cin = spec.cin_channels
     offs, total_rows = buffer_layout(spec)
     dils = spec.dilations
     sqrt_half = math.sqrt(0.5)
@@ -197,11 +199,26 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                 taps.append(h.astype(buf_ref.dtype))
                 if has_cond:
                     taps.append(ct.astype(buf_ref.dtype))
-                inp = jnp.concatenate(taps, axis=-1)   # (B, k*R [+cin])
 
-                z = jnp.dot(inp.astype(w_in_ref.dtype), w_in_ref[li],
+                if split_taps:
+                    # Sum of per-tap matmuls instead of concat+one-matmul:
+                    # skips the (B, k*R+cin) concat copy, and only the newest
+                    # tap's matmul sits on the sequential h-dependency chain —
+                    # old-tap/cond matmuls of layer l can overlap the GLU/out
+                    # of layer l-1.
+                    wd = w_in_ref.dtype
+                    z = b_in_ref[li]
+                    for jj, tap in enumerate(taps):
+                        z = z + jnp.dot(
+                            tap.astype(wd),
+                            w_in_ref[li, pl.ds(jj * R, R)] if jj < k
+                            else w_in_ref[li, pl.ds(k * R, cin)],
                             preferred_element_type=jnp.float32)
-                z = z + b_in_ref[li]
+                else:
+                    inp = jnp.concatenate(taps, axis=-1)  # (B, k*R [+cin])
+                    z = jnp.dot(inp.astype(w_in_ref.dtype), w_in_ref[li],
+                                preferred_element_type=jnp.float32)
+                    z = z + b_in_ref[li]
                 if has_gate:
                     z = z + g_gate_ref[li]
                 a, b = z[:, :G2], z[:, G2:]
@@ -287,7 +304,7 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
 
 @partial(jax.jit, static_argnames=("spec", "T", "chunk", "log_scale_min",
                                    "deterministic", "interpret",
-                                   "vmem_limit_bytes"))
+                                   "vmem_limit_bytes", "split_taps"))
 def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          spec: WaveNetSpec, *, T: int,
                          c_up: Optional[jnp.ndarray],
@@ -298,7 +315,8 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          log_scale_min: float,
                          deterministic: bool,
                          interpret: bool = False,
-                         vmem_limit_bytes: Optional[int] = None
+                         vmem_limit_bytes: Optional[int] = None,
+                         split_taps: bool = False
                          ) -> jnp.ndarray:
     B = x0.shape[0]
     has_cond = c_up is not None
@@ -308,7 +326,8 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
 
     kernel, total_rows = _make_kernel(
         spec, B=B, chunk=chunk, has_cond=has_cond, has_gate=has_gate,
-        log_scale_min=log_scale_min, deterministic=deterministic)
+        log_scale_min=log_scale_min, deterministic=deterministic,
+        split_taps=split_taps)
 
     if has_cond:
         # conditioning stream in the weight dtype: bf16 halves the per-chunk
@@ -385,10 +404,12 @@ class PallasGenerator:
 
     def __init__(self, params: Params, spec: WaveNetSpec, *,
                  weight_dtype=jnp.bfloat16, chunk: int = DEFAULT_CHUNK,
-                 vmem_limit_bytes: Optional[int] = None):
+                 vmem_limit_bytes: Optional[int] = None,
+                 split_taps: bool = False):
         self.spec = spec
         self.chunk = chunk
         self.vmem_limit_bytes = vmem_limit_bytes
+        self.split_taps = split_taps
         self.params = make_generation_fast(params)
         self.packed = jax.device_put(
             pack_weights(self.params, spec, dtype=weight_dtype))
@@ -459,11 +480,20 @@ class PallasGenerator:
         seed = jnp.asarray([jax.random.randint(rng, (), 0, 2 ** 31 - 1)],
                            dtype=jnp.int32)
 
+        # Mosaic's default scoped-VMEM limit is far below the physical VMEM
+        # (v5e: 128MiB); auto-raise it when the footprint estimate says the
+        # batch needs more, so B=64..256 works out of the box.
+        vmem_limit = self.vmem_limit_bytes
+        if vmem_limit is None:
+            est = self.estimate_vmem_bytes(B)
+            if est > 24 * 2 ** 20:
+                vmem_limit = min(120 * 2 ** 20, int(est * 1.5) + 8 * 2 ** 20)
+
         out = _pallas_generate_jit(
             self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate, x0=x0,
             seed=seed, chunk=chunk, log_scale_min=float(log_scale_min),
             deterministic=deterministic, interpret=interpret,
-            vmem_limit_bytes=self.vmem_limit_bytes)
+            vmem_limit_bytes=vmem_limit, split_taps=self.split_taps)
         return out[:, :T]
 
 

@@ -71,6 +71,7 @@ def batch_wavegen(params: Params, cfg: Config, *,
                   c: Optional[np.ndarray] = None,
                   g: Optional[np.ndarray] = None,
                   T: Optional[int] = None,
+                  initial_input: Optional[jnp.ndarray] = None,
                   rng=None, fast: bool = True,
                   mesh=None, engine: str = "scan") -> np.ndarray:
     """Generate a batch of waveforms (reference: synthesis.py:42-86).
@@ -114,9 +115,11 @@ def batch_wavegen(params: Params, cfg: Config, *,
                 "across processes or use engine='scan' with a mesh")
         from wavenet_vocoder_tpu.ops.pallas_generate import generate_pallas
         samples = generate_pallas(params, spec, rng, T=T, c=c, g=g,
+                                  initial_input=initial_input,
                                   log_scale_min=cfg.log_scale_min)
         return _decode(cfg, samples)
     out = generate(params, spec, rng, T=T, c=c, g=g,
+                   initial_input=initial_input,
                    softmax=True, quantize=True,
                    log_scale_min=cfg.log_scale_min,
                    output="samples", fold_weight_norm=fast)
@@ -134,7 +137,7 @@ class Synthesizer:
 
     def __init__(self, params: Params, cfg: Config, *,
                  spec: Optional[WaveNetSpec] = None, engine: str = "pallas",
-                 weight_dtype=jnp.bfloat16):
+                 weight_dtype=jnp.bfloat16, **engine_kwargs):
         from wavenet_vocoder_tpu.models.wavenet import make_generation_fast
         self.cfg = cfg
         self.spec = spec or spec_from_config(cfg)
@@ -142,7 +145,8 @@ class Synthesizer:
         if engine == "pallas":
             from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
             self._gen = PallasGenerator(params, self.spec,
-                                        weight_dtype=weight_dtype)
+                                        weight_dtype=weight_dtype,
+                                        **engine_kwargs)
             self._params = self._gen.params
         elif engine == "scan":
             self._gen = None
@@ -168,19 +172,38 @@ class Synthesizer:
                              T=T, rng=rng, fast=False)
 
 
+def _initial_input(cfg: Config, spec: WaveNetSpec,
+                   initial_value: Optional[float]) -> Optional[jnp.ndarray]:
+    """Reference initial-value semantics (synthesis.py:147-161): default is
+    mu-law code of 0 (= 127) for categorical, 0.0 for scalar; an explicit
+    value is a mu-law code for categorical models, a raw float otherwise."""
+    if initial_value is None:
+        return None  # generate() defaults match the reference defaults
+    if cfg.is_mulaw_quantize:
+        code = int(initial_value)
+        assert 0 <= code < cfg.quantize_channels, code
+        one_hot = np.zeros((1, spec.out_channels), np.float32)
+        one_hot[0, code] = 1.0
+        return jnp.asarray(one_hot)
+    return jnp.full((1, 1), float(initial_value), jnp.float32)
+
+
 def wavegen(params: Params, cfg: Config, *,
             spec: Optional[WaveNetSpec] = None,
             length: Optional[int] = None,
             c: Optional[np.ndarray] = None,
             g: Optional[Any] = None,
+            initial_value: Optional[float] = None,
             rng=None, fast: bool = True) -> np.ndarray:
     """Single-utterance generation (reference: synthesis.py:101-188).
 
     c: (T_mel, D) mel (WITHOUT cin_pad context — it is added here), or
        sample-resolution features when no upsample net is configured
        (feature repeat path, reference: synthesis.py:128-146).
+    initial_value: first decoder input (reference: synthesis.py:147-161).
     """
     spec = spec or spec_from_config(cfg)
+    init_in = _initial_input(cfg, spec, initial_value)
     if c is not None:
         c = np.asarray(c, dtype=np.float32)
         assert c.ndim == 2
@@ -197,10 +220,11 @@ def wavegen(params: Params, cfg: Config, *,
             c_in = pad_mel_context(c[None], cfg.cin_pad)
         wav = batch_wavegen(params, cfg, spec=spec, c=c_in,
                             g=None if g is None else np.asarray([g]),
-                            T=length, rng=rng, fast=fast)
+                            T=length, initial_input=init_in,
+                            rng=rng, fast=fast)
         return wav[0]
     assert length is not None
     g_arr = None if g is None else np.asarray([g])
     wav = batch_wavegen(params, cfg, spec=spec, c=None, g=g_arr, T=length,
-                        rng=rng, fast=fast)
+                        initial_input=init_in, rng=rng, fast=fast)
     return wav[0]
