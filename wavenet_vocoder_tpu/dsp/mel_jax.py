@@ -102,10 +102,16 @@ def _logmel_xla(y: jnp.ndarray, *, n_fft: int, hop: int, win_length: int,
     idx = (np.arange(n_frames)[:, None] * hop
            + np.arange(n_fft)[None, :])  # static
     frames = y[..., idx]
-    re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, sin_m, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU matmuls default to bf16 passes — fine for NN activations,
+    # not for a DFT (log-mel maxerr degrades from ~2e-4 to ~4e-2)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(frames, cos_m, precision=hi,
+                    preferred_element_type=jnp.float32)
+    im = jnp.matmul(frames, sin_m, precision=hi,
+                    preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)
-    S = jnp.matmul(mag, mel_m, preferred_element_type=jnp.float32)
+    S = jnp.matmul(mag, mel_m, precision=hi,
+                   preferred_element_type=jnp.float32)
     return jnp.log10(jnp.maximum(S, 1e-10))
 
 
@@ -125,26 +131,30 @@ def logmelspectrogram_jax(y, cfg: Config) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 # Pallas fused kernel
 # ----------------------------------------------------------------------
-def _mel_kernel(chunks_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
+def _mel_kernel(main_ref, tail_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
                 m: int, hop: int, f_blk: int):
     """One grid step = f_blk frames.
 
-    chunks_ref: (f_blk + m - 1, hop) hop-sized chunk rows; frame f of this
-    block = concat(chunks[f], ..., chunks[f+m-1]). The folded-window DFT
+    main_ref: (f_blk, hop) hop-sized chunk rows of this block; tail_ref:
+    (m-1, hop) the next block's first rows (frame f needs chunks f..f+m-1).
+    Frame f = concat(chunks[f], ..., chunks[f+m-1]); the folded-window DFT
     matmul distributes over that concat as m shifted partial matmuls, so the
     overlapped (f_blk, n_fft) frame matrix is never built.
     """
     n_bins = cos_ref.shape[1]
+    chunks = jnp.concatenate([main_ref[:, :], tail_ref[:m - 1, :]], axis=0)
+    hi = jax.lax.Precision.HIGHEST
     re = jnp.zeros((f_blk, n_bins), jnp.float32)
     im = jnp.zeros((f_blk, n_bins), jnp.float32)
     for j in range(m):
-        part = chunks_ref[j:j + f_blk, :]  # (f_blk, hop), static slice
-        re += jnp.dot(part, cos_ref[j * hop:(j + 1) * hop, :],
+        part = chunks[j:j + f_blk, :]  # (f_blk, hop), static slice
+        re += jnp.dot(part, cos_ref[j * hop:(j + 1) * hop, :], precision=hi,
                       preferred_element_type=jnp.float32)
-        im += jnp.dot(part, sin_ref[j * hop:(j + 1) * hop, :],
+        im += jnp.dot(part, sin_ref[j * hop:(j + 1) * hop, :], precision=hi,
                       preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)
-    S = jnp.dot(mag, mel_ref[:, :], preferred_element_type=jnp.float32)
+    S = jnp.dot(mag, mel_ref[:, :], precision=hi,
+                preferred_element_type=jnp.float32)
     out_ref[:, :] = jnp.log10(jnp.maximum(S, 1e-10))
 
 
@@ -171,17 +181,25 @@ def _logmel_pallas(y: jnp.ndarray, *, n_fft: int, hop: int, win_length: int,
     need = (blocks * f_blk + m - 1) * hop
     y = jnp.pad(y, (0, max(0, need - y.shape[0])))
     chunks = y[:need].reshape(-1, hop)  # (blocks*f_blk + m - 1, hop)
+    main = chunks[:blocks * f_blk]
+    # per-block tail rows: block i also needs chunk rows
+    # [(i+1)*f_blk, (i+1)*f_blk + m - 1) — duplicated into a parallel array
+    # so every pallas input uses plain blocked indexing (overlapping block
+    # windows aren't expressible as a BlockSpec). Padded to 8 rows per block
+    # for sublane alignment; still negligible HBM (8*256*4B per 128 frames).
+    t_rows = ((m - 1 + 7) // 8) * 8
+    tail_idx = np.minimum(
+        np.arange(1, blocks + 1)[:, None] * f_blk
+        + np.arange(t_rows)[None, :],
+        chunks.shape[0] - 1)                  # (blocks, t_rows), static
+    tails = chunks[tail_idx.reshape(-1)]      # (blocks*t_rows, hop)
 
     out = pl.pallas_call(
         functools.partial(_mel_kernel, m=m, hop=hop, f_blk=f_blk),
         grid=(blocks,),
         in_specs=[
-            pl.BlockSpec((f_blk + m - 1, hop), lambda i: (i * f_blk, 0),
-                         indexing_mode=pl.Blocked((f_blk, hop))
-                         if hasattr(pl, "Blocked") else None)
-            if False else
-            pl.BlockSpec((f_blk + m - 1, hop),
-                         lambda i: (i, 0)),  # placeholder, fixed below
+            pl.BlockSpec((f_blk, hop), lambda i: (i, 0)),
+            pl.BlockSpec((t_rows, hop), lambda i: (i, 0)),
             pl.BlockSpec((n_fft, cos_np.shape[1]), lambda i: (0, 0)),
             pl.BlockSpec((n_fft, sin_np.shape[1]), lambda i: (0, 0)),
             pl.BlockSpec((mel_np.shape[0], num_mels), lambda i: (0, 0)),
@@ -190,7 +208,8 @@ def _logmel_pallas(y: jnp.ndarray, *, n_fft: int, hop: int, win_length: int,
         out_shape=jax.ShapeDtypeStruct((blocks * f_blk, num_mels),
                                        jnp.float32),
         interpret=interpret,
-    )(chunks, jnp.asarray(cos_np), jnp.asarray(sin_np), jnp.asarray(mel_np))
+    )(main, tails, jnp.asarray(cos_np), jnp.asarray(sin_np),
+      jnp.asarray(mel_np))
     return out[:n_frames]
 
 
