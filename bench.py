@@ -88,11 +88,12 @@ def main():
     params = init_wavenet(jax.random.PRNGKey(0), spec)
 
     # Per-step cost is latency-bound, so batch rides cheaply until ring-buffer
-    # VMEM traffic dominates. Measured sweep on v5e-1 (audio-sec/s/chip):
-    # B=32: 105, B=64: 167, B=128: 196 (peak), B=160: 195, B=256: 166.
-    # Default = the measured throughput peak; each of the 128 streams still
-    # runs >1.5x realtime. (Reference recipes use batch 32, run.sh:31.)
-    B = int(os.environ.get("BENCH_BATCH", 128))
+    # VMEM traffic dominates. Measured sweep on v5e-1 (audio-sec/s/chip),
+    # 8-iter runs: B=32: 105, B=64: 167, B=128: ~206, B=256: ~240 (peak; needs
+    # the raised Mosaic scoped-VMEM limit, which PallasGenerator auto-applies),
+    # B=384: 105, B=512: 110 (both pathological). chunk=256 beats 64/128/512
+    # at B>=128. (Reference recipes use batch 32, run.sh:31.)
+    B = int(os.environ.get("BENCH_BATCH", 256))
     seconds = float(os.environ.get("BENCH_SECONDS", 1.0))
     hop = cfg.hop_size
     frames = int(seconds * cfg.sample_rate) // hop

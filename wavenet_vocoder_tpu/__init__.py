@@ -17,3 +17,13 @@ from wavenet_vocoder_tpu.models.wavenet import (  # noqa: F401
     receptive_field_size,
     spec_from_config,
 )
+
+
+def __getattr__(name):  # lazy: streaming pulls in scipy/dsp
+    if name == "StreamingSynthesizer":
+        from wavenet_vocoder_tpu.streaming import StreamingSynthesizer
+        return StreamingSynthesizer
+    if name == "Synthesizer":
+        from wavenet_vocoder_tpu.synthesis import Synthesizer
+        return Synthesizer
+    raise AttributeError(name)

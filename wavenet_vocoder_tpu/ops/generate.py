@@ -113,7 +113,7 @@ def _sample_next(spec: WaveNetSpec, key, out: jnp.ndarray, *,
 
 @partial(jax.jit, static_argnames=(
     "spec", "T", "softmax", "quantize", "output", "log_scale_min",
-    "deterministic", "dtype"))
+    "deterministic", "dtype", "return_state"))
 def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
                    c_up: Optional[jnp.ndarray],
                    g_vec: Optional[jnp.ndarray],
@@ -123,12 +123,20 @@ def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
                    softmax: bool, quantize: bool,
                    log_scale_min: float, output: str,
                    deterministic: bool = False,
-                   dtype=None):
+                   dtype=None,
+                   t0: Optional[jnp.ndarray] = None,
+                   buffers0: Optional[Tuple[jnp.ndarray, ...]] = None,
+                   return_state: bool = False):
     """The compiled scan. All conditioning pre-sliced to time-major xs.
 
     dtype: compute dtype for the per-step network (e.g. jnp.bfloat16 halves
     the per-step HBM weight streaming — the scan engine's bottleneck); head
     outputs and sampling stay f32.
+
+    Streaming: ``t0``/``buffers0`` resume a previous call's final carry (the
+    ring indices and the per-step RNG both key off the ABSOLUTE step index
+    t0+i, so a chunked run is bit-identical to one long scan);
+    ``return_state=True`` additionally returns the final carry.
     """
     B = initial_input.shape[0]
     if dtype is not None:
@@ -151,7 +159,10 @@ def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
     if g_vec is not None:
         g_gate = [conv1x1(bp["cond_g"], g_vec) for bp in params["blocks"]]
 
-    xs: Dict[str, jnp.ndarray] = {"t": jnp.arange(T, dtype=jnp.int32)}
+    ts = jnp.arange(T, dtype=jnp.int32)
+    if t0 is not None:
+        ts = ts + t0.astype(jnp.int32)
+    xs: Dict[str, jnp.ndarray] = {"t": ts}
     if c_up is not None:
         xs["c"] = jnp.swapaxes(c_up, 0, 1)  # (T, B, C)
     if test_inputs is not None:
@@ -216,10 +227,18 @@ def _generate_scan(params: Params, spec: WaveNetSpec, rng, *, T: int,
             ys["logits"] = out
         return (next_in.astype(x_in.dtype), tuple(new_buffers)), ys
 
-    buffers0 = init_buffers(spec, B, dtype=initial_input.dtype)
-    _, ys = jax.lax.scan(step, (initial_input, buffers0), xs)
+    if buffers0 is None:
+        buffers0 = init_buffers(spec, B, dtype=initial_input.dtype)
+    else:
+        buffers0 = tuple(b.astype(initial_input.dtype) for b in buffers0)
+    carry, ys = jax.lax.scan(step, (initial_input, buffers0), xs)
     # time-major -> batch-major
-    return {k_: jnp.swapaxes(v, 0, 1) for k_, v in ys.items()}
+    out = {k_: jnp.swapaxes(v, 0, 1) for k_, v in ys.items()}
+    if return_state:
+        x_last, buffers_last = carry
+        out["state"] = (x_last.astype(jnp.float32),
+                        tuple(b.astype(jnp.float32) for b in buffers_last))
+    return out
 
 
 def generate(params: Params, spec: WaveNetSpec, rng, *,
@@ -233,7 +252,9 @@ def generate(params: Params, spec: WaveNetSpec, rng, *,
              output: str = "samples",
              fold_weight_norm: bool = True,
              deterministic: bool = False,
-             dtype=None) -> Dict[str, jnp.ndarray]:
+             dtype=None,
+             state: Optional[Tuple] = None,
+             return_state: bool = False) -> Dict[str, jnp.ndarray]:
     """Autoregressive generation (reference: wavenet.py:215-343).
 
     Args:
@@ -248,13 +269,25 @@ def generate(params: Params, spec: WaveNetSpec, rng, *,
         (reference: wavenet.py:297-301).
       softmax/quantize: categorical-head behavior (reference: wavenet.py:332-335).
       output: "samples" | "logits" | "both".
+      state: (x_in, buffers, t_offset) from a previous call's returned state —
+        resumes generation mid-stream (chunked calls are bit-identical to one
+        long call; see streaming.StreamingSynthesizer).
+      return_state: include the final ("x_in", buffers, t_offset+T) carry
+        under key "state".
 
     Returns dict with:
       samples: (B, T, 1) scalar samples or (B, T, out_channels) one-hot.
       logits:  (B, T, out_channels) raw head outputs (if requested).
+      state:   final decoder carry (if requested).
     """
     if fold_weight_norm:
         params = make_generation_fast(params)
+
+    buffers0, t0 = None, None
+    if state is not None:
+        x_in, buffers0, t_off = state
+        initial_input = x_in
+        t0 = jnp.asarray(t_off, jnp.int32)
 
     # Resolve batch/length from whichever inputs exist
     # (reference: wavenet.py:246-276).
@@ -291,9 +324,15 @@ def generate(params: Params, spec: WaveNetSpec, rng, *,
             test_inputs = jnp.concatenate([test_inputs, pad], axis=1)
         test_inputs = test_inputs.astype(jnp.float32)
 
-    return _generate_scan(
+    out = _generate_scan(
         params, spec, rng, T=int(T), c_up=c_up, g_vec=g_vec,
         initial_input=initial_input, test_inputs=test_inputs, n_test=n_test,
         softmax=softmax, quantize=quantize,
         log_scale_min=float(log_scale_min), output=output,
-        deterministic=deterministic, dtype=dtype)
+        deterministic=deterministic, dtype=dtype,
+        t0=t0, buffers0=buffers0, return_state=return_state)
+    if return_state:
+        x_last, buffers_last = out["state"]
+        t_next = (0 if state is None else state[2]) + int(T)
+        out["state"] = (x_last, buffers_last, t_next)
+    return out
