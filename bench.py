@@ -109,11 +109,14 @@ def main():
             DEFAULT_CHUNK, PallasGenerator)
         chunk = int(os.environ.get("BENCH_CHUNK", DEFAULT_CHUNK))
         vmem_mb = os.environ.get("BENCH_VMEM_MB")
+        variant = os.environ.get("BENCH_VARIANT", "fused")
+        if int(os.environ.get("BENCH_SPLIT_TAPS", "0")):
+            variant = "split_taps"
         gen = PallasGenerator(  # pack weights ONCE
             params, spec, chunk=chunk,
             vmem_limit_bytes=None if vmem_mb is None
             else int(float(vmem_mb) * 2 ** 20),
-            split_taps=bool(int(os.environ.get("BENCH_SPLIT_TAPS", "0"))))
+            variant=variant)
         est = gen.estimate_vmem_bytes(B)
         print(f"# pallas vmem estimate: {est / 2**20:.1f} MiB "
               f"(B={B}, chunk={chunk})", file=sys.stderr)

@@ -119,3 +119,77 @@ def test_chunk_padding():
                           weight_dtype=jnp.float32, chunk=16,
                           deterministic=True, interpret=True)
     assert out.shape == (1, 23)
+
+
+# ----------------------------------------------------------------------
+# chain-split variant: old-tap/cond projections off the AR chain, residual
+# projection folded into the next layer's input matmul (W_out @ W_new
+# product). Mathematically identical to "fused" up to f32 rounding.
+# ----------------------------------------------------------------------
+def test_chain_pack_weights_shapes():
+    spec = _spec()
+    p = init_wavenet(jax.random.PRNGKey(0), spec)
+    packed = pack_weights(p, spec, dtype=jnp.float32, variant="chain")
+    # old taps ((k-1)*R rows) + cin conditioning rows
+    assert packed["w_old"].shape == (4, 2 * 8 + 4, 16)
+    assert packed["w_new0"].shape == (8, 16)
+    assert packed["w_hterm"].shape == (3, 8, 16)
+    assert packed["w_chain"].shape == (3, 8, 16)
+    assert packed["b_pre"].shape == (4, 16)
+    assert packed["b_pre"].dtype == jnp.float32
+
+
+def test_chain_categorical_matches_scan():
+    spec = _spec()
+    p = init_wavenet(jax.random.PRNGKey(0), spec)
+    B, T = 2, 64
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    codes_scan = np.argmax(np.asarray(
+        generate(p, spec, jax.random.PRNGKey(2), c=c,
+                 deterministic=True)["samples"]), -1)
+    codes_chain = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True, variant="chain"))
+    np.testing.assert_array_equal(codes_scan, codes_chain)
+
+
+def test_chain_mol_matches_scan():
+    spec = _spec(out_channels=30, scalar_input=True,
+                 output_distribution="Logistic")
+    p = init_wavenet(jax.random.PRNGKey(3), spec)
+    B, T = 2, 48
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    s_scan = np.asarray(generate(p, spec, jax.random.PRNGKey(2), c=c,
+                                 deterministic=True)["samples"])[..., 0]
+    s_chain = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True, variant="chain"))
+    np.testing.assert_allclose(s_scan, s_chain, atol=1e-4)
+
+
+def test_chain_global_conditioning_matches_scan():
+    spec = _spec(gin_channels=8, use_speaker_embedding=True, n_speakers=3)
+    p = init_wavenet(jax.random.PRNGKey(5), spec)
+    B, T = 2, 32
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    g = jnp.asarray([0, 2], dtype=jnp.int32)
+    codes_scan = np.argmax(np.asarray(
+        generate(p, spec, jax.random.PRNGKey(2), c=c, g=g,
+                 deterministic=True)["samples"]), -1)
+    codes_chain = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, g=g, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True, variant="chain"))
+    np.testing.assert_array_equal(codes_scan, codes_chain)
+
+
+def test_chain_unconditional_single_layer():
+    # L=1 edge: no w_hterm/w_chain used (dummies passed)
+    spec = _spec(layers=1, stacks=1, cin_channels=-1)
+    p = init_wavenet(jax.random.PRNGKey(7), spec)
+    codes_fused = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(0), T=24, weight_dtype=jnp.float32,
+        chunk=8, deterministic=True, interpret=True))
+    codes_chain = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(0), T=24, weight_dtype=jnp.float32,
+        chunk=8, deterministic=True, interpret=True, variant="chain"))
+    np.testing.assert_array_equal(codes_fused, codes_chain)

@@ -35,7 +35,13 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--speaker-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", type=int, default=0,
+                   help="verbosity level (reference: evaluate.py:15, 97-102)")
     args = p.parse_args(argv)
+
+    if args.verbose > 0:
+        print(f"dump_dir={args.dump_dir} checkpoint={args.checkpoint} "
+              f"out_dir={args.out_dir} preset={args.preset}")
 
     params, cfg, step = load_params_and_config(
         args.checkpoint, args.preset, args.hparams)

@@ -24,10 +24,13 @@ def main(argv=None) -> None:
     p.add_argument("--test-size", type=_num, default=0.05)
     p.add_argument("--target-sr", type=int, default=None)
     p.add_argument("--raw-sr", type=int, default=24000)
+    p.add_argument("--random-state", type=int, default=1234,
+                   help="split seed (reference: mksubset.py:14)")
     args = p.parse_args(argv)
     mksubset(args.in_dir, args.out_dir, limit_hours=args.limit,
              dev_size=args.dev_size, test_size=args.test_size,
-             target_sr=args.target_sr, raw_sr=args.raw_sr)
+             target_sr=args.target_sr, raw_sr=args.raw_sr,
+             seed=args.random_state)
 
 
 if __name__ == "__main__":

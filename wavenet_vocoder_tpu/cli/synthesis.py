@@ -54,6 +54,12 @@ def main(argv=None) -> None:
     p.add_argument("--hparams", default="")
     p.add_argument("--speaker-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--file-name-suffix", default="",
+                   help="appended to the wav name when DST_WAV is a "
+                        "directory (reference: synthesis.py:203, 240)")
+    p.add_argument("--output-html", action="store_true",
+                   help="print an <audio> html snippet for the generated wav "
+                        "(reference: synthesis.py:204)")
     args = p.parse_args(argv)
 
     params, cfg, step = load_params_and_config(
@@ -66,8 +72,16 @@ def main(argv=None) -> None:
                   length=None if c is not None else args.length,
                   initial_value=args.initial_value,
                   rng=jax.random.PRNGKey(args.seed))
-    audio.save_wav(wav, args.dst_wav, cfg.sample_rate)
-    print(f"Wrote {args.dst_wav} ({len(wav) / cfg.sample_rate:.2f}s)")
+    dst = args.dst_wav
+    if os.path.isdir(dst):
+        # directory destination: name after the checkpoint, like the
+        # reference's dst_dir mode (reference: synthesis.py:240)
+        name = os.path.splitext(os.path.basename(args.checkpoint))[0]
+        dst = os.path.join(dst, f"{name}{args.file_name_suffix}.wav")
+    audio.save_wav(wav, dst, cfg.sample_rate)
+    print(f"Wrote {dst} ({len(wav) / cfg.sample_rate:.2f}s)")
+    if args.output_html:
+        print(f'<audio controls="controls"><source src="{dst}"/></audio>')
 
 
 if __name__ == "__main__":

@@ -59,14 +59,20 @@ def _kernel_and_bias(p, dtype):
     return w, (None if b is None else b.astype(jnp.float32))
 
 
-def pack_weights(params: Params, spec: WaveNetSpec, dtype=jnp.bfloat16
-                 ) -> Dict[str, jnp.ndarray]:
+def pack_weights(params: Params, spec: WaveNetSpec, dtype=jnp.bfloat16,
+                 variant: str = "fused") -> Dict[str, jnp.ndarray]:
     """Stack per-layer weights into kernel-friendly arrays.
 
     Shapes (L = layers, R = residual, G = gate, G2 = G//2, S = skip):
       w_first (C_in, R);  w_conv (L, k*R, G);  w_cond (L, cin, G) [opt];
       w_skip (L, G2, S);  w_out (L, G2, R);  w_h1 (S, S);  w_h2 (S, out).
     Biases are kept f32.
+
+    variant="chain" packs the chain-split factorization instead of w_in/b_in
+    (see _make_kernel): w_old (old taps + cond rows), w_new0, and the
+    precomputed products w_hterm[l] = W_new[l+1]*sqrt(1/2),
+    w_chain[l] = W_out[l] @ W_new[l+1] * sqrt(1/2) (f32 products, then cast),
+    with b_pre[l] absorbing the residual-path bias b_out[l-1] @ W_new[l].
     """
     params = make_generation_fast(params)
     L = spec.layers
@@ -86,14 +92,46 @@ def pack_weights(params: Params, spec: WaveNetSpec, dtype=jnp.bfloat16
     # AND the local-conditioning projection — rows [0, k*R) are the conv taps
     # (oldest..newest), rows [k*R, k*R+cin) the conditioning. Halves the
     # dependent-matmul chain vs separate conv/cond matmuls.
-    def w_in_l(bp):
-        w = conv_kernel(bp["conv"]).astype(dtype).reshape(k * r, -1)
+    def w_in_f32(bp):
+        w = conv_kernel(bp["conv"]).astype(jnp.float32).reshape(k * r, -1)
         if spec.has_local_conditioning:
-            wc = conv_kernel(bp["cond_c"]).astype(dtype)[0]
+            wc = conv_kernel(bp["cond_c"]).astype(jnp.float32)[0]
             w = jnp.concatenate([w, wc], axis=0)
         return w
-    out["w_in"] = stack(w_in_l)                    # (L, k*R [+cin], G)
-    out["b_in"] = stack(lambda bp: bp["conv"]["b"].astype(jnp.float32))
+
+    if variant == "chain":
+        sqrt_half = math.sqrt(0.5)
+        wins = [w_in_f32(bp) for bp in params["blocks"]]
+        w_new = [wi[(k - 1) * r:k * r] for wi in wins]        # (R, G) f32
+        w_old = [jnp.concatenate([wi[:(k - 1) * r], wi[k * r:]], axis=0)
+                 for wi in wins]                              # ((k-1)R+cin, G)
+        w_out_l = [conv_kernel(bp["out"]).astype(jnp.float32)[0]
+                   for bp in params["blocks"]]                # (G2, R)
+        b_out_l = [bp["out"]["b"].astype(jnp.float32)
+                   for bp in params["blocks"]]
+        b_in_l = [bp["conv"]["b"].astype(jnp.float32)
+                  for bp in params["blocks"]]
+        out["w_old"] = jnp.stack(w_old).astype(dtype)
+        out["w_new0"] = w_new[0].astype(dtype)
+        b_pre = [b_in_l[0]]
+        for li in range(1, L):
+            b_pre.append(b_in_l[li]
+                         + (b_out_l[li - 1] @ w_new[li]) * sqrt_half)
+        out["b_pre"] = jnp.stack(b_pre)                       # (L, G) f32
+        if L > 1:
+            out["w_hterm"] = jnp.stack(
+                [w_new[li + 1] * sqrt_half for li in range(L - 1)]
+            ).astype(dtype)                                   # (L-1, R, G)
+            out["w_chain"] = jnp.stack(
+                [(w_out_l[li] @ w_new[li + 1]) * sqrt_half
+                 for li in range(L - 1)]).astype(dtype)       # (L-1, G2, G)
+        else:
+            out["w_hterm"] = jnp.zeros((1, 1, 1), dtype)
+            out["w_chain"] = jnp.zeros((1, 1, 1), dtype)
+    else:
+        out["w_in"] = stack(
+            lambda bp: w_in_f32(bp).astype(dtype))             # (L, k*R[+cin], G)
+        out["b_in"] = stack(lambda bp: bp["conv"]["b"].astype(jnp.float32))
 
     # Fused output projection: residual-out and skip-out share the gated
     # activation input — one (G2, R+S) matmul per layer.
@@ -133,8 +171,26 @@ def _uniform_from_bits(bits, lo=1e-5):
 
 def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                  has_gate: bool, log_scale_min: float, deterministic: bool,
-                 split_taps: bool = False):
-    """Build the kernel body (closure over static structure)."""
+                 variant: str = "fused"):
+    """Build the kernel body (closure over static structure).
+
+    variant:
+      "fused"      — one (B, k*R+cin) x (.., G) input matmul per layer
+                     (concat of all taps + cond); 2 chained matmuls/layer.
+      "split_taps" — per-tap matmuls, no concat (tested slower; kept as a
+                     measured variant).
+      "chain"      — chain-split algebra: old-tap/cond projections ("pre")
+                     for ALL layers are computed up front (they only read
+                     ring-buffer state from earlier steps, so they sit OFF the
+                     sequential AR dependency chain and can fill the MXU while
+                     the chain stalls); the residual projection of layer l is
+                     folded into layer l+1's input projection via the
+                     precomputed product W_out[l] @ W_new[l+1], so the chain
+                     is ONE (B, G2) x (G2, G) matmul + GLU per layer:
+                       z[l+1] = pre[l+1] + h[l] @ (W_new[l+1]*√½)   [off-chain]
+                                + gated[l] @ (W_out[l] @ W_new[l+1] * √½)
+                     Mathematically identical to "fused" (up to f32 rounding).
+    """
     L = spec.layers
     k = spec.kernel_size
     R = spec.residual_channels
@@ -150,18 +206,29 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
     sqrt_inv_L = math.sqrt(1.0 / L)
     scalar = spec.scalar_input
     distribution = spec.output_distribution
+    chain = variant == "chain"
+    split_taps = variant == "split_taps"
 
     def kernel(seed_ref,                      # SMEM (1,)
                x0_ref,                        # (B, C_in)
                cond_ref,                      # (chunk, B, cin) or (1, 1, 1)
                g_gate_ref,                    # (L, B, G) or (1, 1, 1) dummy
                w_first_ref, b_first_ref,
-               w_in_ref, b_in_ref,            # (L, k*R[+cin], G), (L, G)
-               w_og_ref, b_og_ref,            # (L, G2, R+S), (L, R+S)
-               w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
-               out_ref,                       # (chunk, B) f32 or int32
-               buf_ref,                       # scratch (total_rows, B, R)
-               x_cur_ref):                    # scratch (B, C_in) f32
+               *rest):
+        if chain:
+            (w_old_ref, b_pre_ref,            # (L, (k-1)R[+cin], G), (L, G)
+             w_new0_ref,                      # (R, G)
+             w_hterm_ref, w_chain_ref,        # (L-1, R, G), (L-1, G2, G)
+             w_og_ref, b_og_ref,
+             w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
+             out_ref, buf_ref, x_cur_ref) = rest
+        else:
+            (w_in_ref, b_in_ref,              # (L, k*R[+cin], G), (L, G)
+             w_og_ref, b_og_ref,              # (L, G2, R+S), (L, R+S)
+             w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
+             out_ref,                         # (chunk, B) f32 or int32
+             buf_ref,                         # scratch (total_rows, B, R)
+             x_cur_ref) = rest                # scratch (B, C_in) f32
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -184,50 +251,102 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                 ct = cond_ref[j]                        # (B, cin)
 
             skips = jnp.zeros((B, S), jnp.float32)
-            for li in range(L):
-                d = dils[li]
-                Ll = (k - 1) * d
-                off = offs[li]
-                taps = []
-                for jj in range(k - 1, 0, -1):
-                    row = off + (t - jj * d) % Ll
-                    taps.append(buf_ref[pl.ds(row, 1)][0])   # (B, R) f32
-                # write current input AFTER reads (evicts x[t - Ll]).
-                # Buffer storage may be bf16: past taps only ever feed
-                # matmuls of that dtype, so narrowing loses nothing.
-                buf_ref[pl.ds(off + t % Ll, 1)] = h[None].astype(buf_ref.dtype)
-                taps.append(h.astype(buf_ref.dtype))
-                if has_cond:
-                    taps.append(ct.astype(buf_ref.dtype))
+            if chain:
+                wd = w_old_ref.dtype
+                # Phase A (off the AR chain): every layer's old-tap + cond
+                # projection reads only ring-buffer rows written at EARLIER
+                # steps — independent of this step's h chain.
+                pre = []
+                for li in range(L):
+                    d = dils[li]
+                    Ll = (k - 1) * d
+                    off = offs[li]
+                    parts = []
+                    for jj in range(k - 1, 0, -1):
+                        row = off + (t - jj * d) % Ll
+                        parts.append(buf_ref[pl.ds(row, 1)][0])
+                    if has_cond:
+                        parts.append(ct.astype(buf_ref.dtype))
+                    inp = (parts[0] if len(parts) == 1
+                           else jnp.concatenate(parts, axis=-1))
+                    z_li = jnp.dot(inp.astype(wd), w_old_ref[li],
+                                   preferred_element_type=jnp.float32)
+                    z_li = z_li + b_pre_ref[li]
+                    if has_gate:
+                        z_li = z_li + g_gate_ref[li]
+                    pre.append(z_li)
 
-                if split_taps:
-                    # Sum of per-tap matmuls instead of concat+one-matmul:
-                    # skips the (B, k*R+cin) concat copy, and only the newest
-                    # tap's matmul sits on the sequential h-dependency chain —
-                    # old-tap/cond matmuls of layer l can overlap the GLU/out
-                    # of layer l-1.
-                    wd = w_in_ref.dtype
-                    z = b_in_ref[li]
-                    for jj, tap in enumerate(taps):
-                        z = z + jnp.dot(
-                            tap.astype(wd),
-                            w_in_ref[li, pl.ds(jj * R, R)] if jj < k
-                            else w_in_ref[li, pl.ds(k * R, cin)],
-                            preferred_element_type=jnp.float32)
-                else:
-                    inp = jnp.concatenate(taps, axis=-1)  # (B, k*R [+cin])
-                    z = jnp.dot(inp.astype(w_in_ref.dtype), w_in_ref[li],
+                # Phase B: the sequential chain — per layer ONE (B,G2)x(G2,G)
+                # matmul + GLU; h / skips / hterm matmuls hang off the chain.
+                z = pre[0] + jnp.dot(h.astype(wd), w_new0_ref[...],
+                                     preferred_element_type=jnp.float32)
+                for li in range(L):
+                    off = offs[li]
+                    Ll = (k - 1) * dils[li]
+                    # write layer li's input (AFTER phase A read its rows)
+                    buf_ref[pl.ds(off + t % Ll, 1)] = \
+                        h[None].astype(buf_ref.dtype)
+                    if li < L - 1:
+                        hterm = jnp.dot(h.astype(wd), w_hterm_ref[li],
+                                        preferred_element_type=jnp.float32)
+                    a, b = z[:, :G2], z[:, G2:]
+                    gated = jnp.tanh(a) * jax.nn.sigmoid(b)  # (B, G2) f32
+                    y = jnp.dot(gated.astype(w_og_ref.dtype), w_og_ref[li],
                                 preferred_element_type=jnp.float32)
-                    z = z + b_in_ref[li]
-                if has_gate:
-                    z = z + g_gate_ref[li]
-                a, b = z[:, :G2], z[:, G2:]
-                gated = jnp.tanh(a) * jax.nn.sigmoid(b)      # (B, G2) f32
+                    y = y + b_og_ref[li]
+                    skips = skips + y[:, R:]
+                    h = (y[:, :R] + h) * sqrt_half
+                    if li < L - 1:
+                        z = pre[li + 1] + hterm + jnp.dot(
+                            gated.astype(wd), w_chain_ref[li],
+                            preferred_element_type=jnp.float32)
+            else:
+                for li in range(L):
+                    d = dils[li]
+                    Ll = (k - 1) * d
+                    off = offs[li]
+                    taps = []
+                    for jj in range(k - 1, 0, -1):
+                        row = off + (t - jj * d) % Ll
+                        taps.append(buf_ref[pl.ds(row, 1)][0])   # (B, R) f32
+                    # write current input AFTER reads (evicts x[t - Ll]).
+                    # Buffer storage may be bf16: past taps only ever feed
+                    # matmuls of that dtype, so narrowing loses nothing.
+                    buf_ref[pl.ds(off + t % Ll, 1)] = \
+                        h[None].astype(buf_ref.dtype)
+                    taps.append(h.astype(buf_ref.dtype))
+                    if has_cond:
+                        taps.append(ct.astype(buf_ref.dtype))
 
-                y = jnp.dot(gated.astype(w_og_ref.dtype), w_og_ref[li],
-                            preferred_element_type=jnp.float32) + b_og_ref[li]
-                skips = skips + y[:, R:]
-                h = (y[:, :R] + h) * sqrt_half
+                    if split_taps:
+                        # Sum of per-tap matmuls instead of concat+one-matmul:
+                        # skips the (B, k*R+cin) concat copy, and only the
+                        # newest tap's matmul sits on the sequential
+                        # h-dependency chain — old-tap/cond matmuls of layer l
+                        # can overlap the GLU/out of layer l-1.
+                        wd = w_in_ref.dtype
+                        z = b_in_ref[li]
+                        for jj, tap in enumerate(taps):
+                            z = z + jnp.dot(
+                                tap.astype(wd),
+                                w_in_ref[li, pl.ds(jj * R, R)] if jj < k
+                                else w_in_ref[li, pl.ds(k * R, cin)],
+                                preferred_element_type=jnp.float32)
+                    else:
+                        inp = jnp.concatenate(taps, axis=-1)  # (B, k*R[+cin])
+                        z = jnp.dot(inp.astype(w_in_ref.dtype), w_in_ref[li],
+                                    preferred_element_type=jnp.float32)
+                        z = z + b_in_ref[li]
+                    if has_gate:
+                        z = z + g_gate_ref[li]
+                    a, b = z[:, :G2], z[:, G2:]
+                    gated = jnp.tanh(a) * jax.nn.sigmoid(b)      # (B, G2) f32
+
+                    y = jnp.dot(gated.astype(w_og_ref.dtype), w_og_ref[li],
+                                preferred_element_type=jnp.float32)
+                    y = y + b_og_ref[li]
+                    skips = skips + y[:, R:]
+                    h = (y[:, :R] + h) * sqrt_half
 
             skips = skips * sqrt_inv_L
             o = jnp.maximum(skips, 0.0)
@@ -304,7 +423,7 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
 
 @partial(jax.jit, static_argnames=("spec", "T", "chunk", "log_scale_min",
                                    "deterministic", "interpret",
-                                   "vmem_limit_bytes", "split_taps"))
+                                   "vmem_limit_bytes", "variant"))
 def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          spec: WaveNetSpec, *, T: int,
                          c_up: Optional[jnp.ndarray],
@@ -316,7 +435,7 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          deterministic: bool,
                          interpret: bool = False,
                          vmem_limit_bytes: Optional[int] = None,
-                         split_taps: bool = False
+                         variant: str = "fused"
                          ) -> jnp.ndarray:
     B = x0.shape[0]
     has_cond = c_up is not None
@@ -327,19 +446,20 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
     kernel, total_rows = _make_kernel(
         spec, B=B, chunk=chunk, has_cond=has_cond, has_gate=has_gate,
         log_scale_min=log_scale_min, deterministic=deterministic,
-        split_taps=split_taps)
+        variant=variant)
 
+    wref = packed["w_old"] if variant == "chain" else packed["w_in"]
     if has_cond:
         # conditioning stream in the weight dtype: bf16 halves the per-chunk
         # DMA and VMEM for the flagship path (it feeds a matmul of the same
         # dtype in the kernel); f32 weight packs keep f32 cond for the
         # equivalence tests
-        cond_tm = jnp.swapaxes(c_up, 0, 1).astype(packed["w_in"].dtype)
+        cond_tm = jnp.swapaxes(c_up, 0, 1).astype(wref.dtype)
         cond_spec = pl.BlockSpec((chunk, B, cond_tm.shape[-1]),
                                  lambda i, seed: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
-        cond_tm = jnp.zeros((1, 1, 1), packed["w_in"].dtype)
+        cond_tm = jnp.zeros((1, 1, 1), wref.dtype)
         cond_spec = pl.BlockSpec((1, 1, 1), lambda i, seed: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
@@ -351,6 +471,12 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
         # buffer pinned in VMEM for the whole generation
         g_gate = jnp.zeros((1, 1, 1), jnp.float32)
 
+    if variant == "chain":
+        layer_weights = [packed["w_old"], packed["b_pre"], packed["w_new0"],
+                         packed["w_hterm"], packed["w_chain"]]
+    else:
+        layer_weights = [packed["w_in"], packed["b_in"]]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -359,7 +485,7 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
             cond_spec,                 # cond chunk
             full(),                    # g_gate
             full(), full(),            # w_first, b_first
-            full(), full(),            # w_in, b_in
+            *[full() for _ in layer_weights],  # per-variant layer weights
             full(), full(),            # w_og, b_og
             full(), full(), full(), full(),  # head
         ],
@@ -368,8 +494,7 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
         scratch_shapes=[
             # ring buffers in the weight dtype (bf16 for production: taps are
             # matmul inputs of that dtype; halves buffer VMEM, enabling B=32)
-            pltpu.VMEM((total_rows, B, spec.residual_channels),
-                       packed["w_in"].dtype),
+            pltpu.VMEM((total_rows, B, spec.residual_channels), wref.dtype),
             pltpu.VMEM((B, spec.in_channels), jnp.float32),
         ],
     )
@@ -387,7 +512,7 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
         compiler_params=compiler_params,
     )(seed, x0, cond_tm, g_gate,
       packed["w_first"], packed["b_first"],
-      packed["w_in"], packed["b_in"],
+      *layer_weights,
       packed["w_og"], packed["b_og"],
       packed["w_h1"], packed["b_h1"], packed["w_h2"], packed["b_h2"])
     return jnp.swapaxes(out, 0, 1)  # (B, T)
@@ -405,14 +530,17 @@ class PallasGenerator:
     def __init__(self, params: Params, spec: WaveNetSpec, *,
                  weight_dtype=jnp.bfloat16, chunk: int = DEFAULT_CHUNK,
                  vmem_limit_bytes: Optional[int] = None,
-                 split_taps: bool = False):
+                 split_taps: bool = False, variant: str = "fused"):
+        if split_taps:
+            variant = "split_taps"
         self.spec = spec
         self.chunk = chunk
         self.vmem_limit_bytes = vmem_limit_bytes
-        self.split_taps = split_taps
+        self.variant = variant
         self.params = make_generation_fast(params)
         self.packed = jax.device_put(
-            pack_weights(self.params, spec, dtype=weight_dtype))
+            pack_weights(self.params, spec, dtype=weight_dtype,
+                         variant=variant))
 
     def estimate_vmem_bytes(self, B: int) -> int:
         """Rough VMEM footprint: packed weights + ring buffers + double-
@@ -421,7 +549,8 @@ class PallasGenerator:
         wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                      for a in jax.tree.leaves(self.packed))
         _, total_rows = buffer_layout(spec)
-        itm = self.packed["w_in"].dtype.itemsize
+        wref = self.packed.get("w_in", self.packed.get("w_old"))
+        itm = wref.dtype.itemsize
         ring = total_rows * B * spec.residual_channels * itm
         cond = 0
         if spec.has_local_conditioning:
@@ -493,7 +622,7 @@ class PallasGenerator:
             self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate, x0=x0,
             seed=seed, chunk=chunk, log_scale_min=float(log_scale_min),
             deterministic=deterministic, interpret=interpret,
-            vmem_limit_bytes=vmem_limit, split_taps=self.split_taps)
+            vmem_limit_bytes=vmem_limit, variant=self.variant)
         return out[:, :T]
 
 
@@ -506,7 +635,8 @@ def generate_pallas(params: Params, spec: WaveNetSpec, rng, *,
                     weight_dtype=jnp.bfloat16,
                     chunk: int = DEFAULT_CHUNK,
                     deterministic: bool = False,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    variant: str = "fused") -> jnp.ndarray:
     """One-shot fused-kernel generation (packs weights per call — prefer
     :class:`PallasGenerator` for repeated use).
 
@@ -514,7 +644,8 @@ def generate_pallas(params: Params, spec: WaveNetSpec, rng, *,
     for the categorical head (the scan engine returns one-hot; codes decode
     directly via inv_mulaw_quantize).
     """
-    gen = PallasGenerator(params, spec, weight_dtype=weight_dtype, chunk=chunk)
+    gen = PallasGenerator(params, spec, weight_dtype=weight_dtype, chunk=chunk,
+                          variant=variant)
     return gen(rng, T=T, c=c, g=g, initial_input=initial_input,
                log_scale_min=log_scale_min, deterministic=deterministic,
                interpret=interpret)
