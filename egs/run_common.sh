@@ -34,6 +34,7 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
   limit_flag=""
   [ -n "$hours" ] && limit_flag="--limit $hours"
   $PYTHON -m $PKG.mksubset "$db_root" data $limit_flag \
+      --train-dev-test-split \
       --dev-size "${dev_size:-5}" --test-size "${test_size:-5}"
 fi
 

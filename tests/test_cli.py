@@ -138,7 +138,10 @@ def test_evaluate_cli(workdir, trained):
     ckpt = os.path.join(trained, "checkpoint_latest_ema.pkl")
     out = str(workdir["root"] / "generated")
     main([str(workdir["root"] / "norm" / "train_no_dev"), ckpt, out,
-          "--num-utterances", "2", "--batch-size", "2"])
+          "--num-utterances", "2", "--batch-size", "2",
+          # reference-compat flags (evaluate.py:10-15) must be accepted
+          "--length", "32000", "--initial-value", "0.0",
+          "--output-html", "--verbose", "1"])
     files = os.listdir(out)
     gens = [f for f in files if f.endswith("_gen.wav")]
     refs = [f for f in files if f.endswith("_ref.wav")]

@@ -209,6 +209,17 @@ def test_mksubset(tmp_path):
     assert len(os.listdir(os.path.join(out, "dev"))) == 1
 
 
+def test_mksubset_no_split(tmp_path):
+    # flat copy mode (reference: mksubset.py:69-73, 110-111)
+    wav_dir = str(tmp_path / "w")
+    _make_wavs(wav_dir, n=4, seconds=0.2)
+    out = str(tmp_path / "flat")
+    stats = mksubset(wav_dir, out, train_dev_test_split=False)
+    assert stats["n_train"] == 4 and stats["n_dev"] == 0
+    assert sorted(f for f in os.listdir(out) if f.endswith(".wav"))
+    assert not os.path.isdir(os.path.join(out, "train_no_dev"))
+
+
 def test_collate_max_time_sec(dump_dir):
     # max_time_sec overrides max_time_steps (reference: train.py:437-441)
     cfg = CFG.replace(max_time_sec=0.08, max_time_steps=None)  # 1280 samples

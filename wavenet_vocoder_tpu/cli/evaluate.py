@@ -37,6 +37,17 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", type=int, default=0,
                    help="verbosity level (reference: evaluate.py:15, 97-102)")
+    # accepted for reference-CLI compatibility: the reference parses these
+    # but generation length always derives from the conditioning features
+    # (reference: evaluate.py:104-110 parse; 53-57 length from mel)
+    p.add_argument("--length", type=int, default=32000,
+                   help="compat only; length derives from features "
+                        "(reference: evaluate.py:10, 104)")
+    p.add_argument("--initial-value", type=float, default=None,
+                   help="compat only (reference: evaluate.py:12, 109-110)")
+    p.add_argument("--output-html", action="store_true",
+                   help="suppress per-batch progress output "
+                        "(reference: evaluate.py:198-200)")
     args = p.parse_args(argv)
 
     if args.verbose > 0:

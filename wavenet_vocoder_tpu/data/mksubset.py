@@ -53,10 +53,13 @@ def split_files(files: List[str], dev_size, test_size,
 
 
 def mksubset(in_dir: str, out_dir: str, *, limit_hours: Optional[float] = None,
-             dev_size=0.05, test_size=0.05, target_sr: Optional[int] = None,
-             raw_sr: int = 24000, seed: int = 1234) -> dict:
+             dev_size=0.1, test_size=0.1, target_sr: Optional[int] = None,
+             raw_sr: int = 24000, seed: int = 1234,
+             train_dev_test_split: bool = True) -> dict:
     """Build {train_no_dev, dev, eval} wav subsets and report gain stats
-    (reference: mksubset.py:68-151)."""
+    (reference: mksubset.py:68-151). With ``train_dev_test_split=False``,
+    copy every kept utterance flat into ``out_dir`` instead of splitting
+    (reference: mksubset.py:69-73, 110-111)."""
     src = sorted(glob(join(in_dir, "*.wav"))) + sorted(glob(join(in_dir, "*.raw")))
     if not src:
         raise ValueError(f"No .wav/.raw files in {in_dir}")
@@ -72,12 +75,16 @@ def mksubset(in_dir: str, out_dir: str, *, limit_hours: Optional[float] = None,
                 break
         src = kept
 
-    train, dev, test = split_files(src, dev_size, test_size, seed)
+    if train_dev_test_split:
+        train, dev, test = split_files(src, dev_size, test_size, seed)
+        sets = [("train_no_dev", train), ("dev", dev), ("eval", test)]
+    else:
+        train, dev, test = src, [], []
+        sets = [("", src)]
 
     abs_max = 0.0
-    for split_name, files in [("train_no_dev", train), ("dev", dev),
-                              ("eval", test)]:
-        d = join(out_dir, split_name)
+    for split_name, files in sets:
+        d = join(out_dir, split_name) if split_name else out_dir
         os.makedirs(d, exist_ok=True)
         for p in files:
             x, sr = _read_any(p, raw_sr)
@@ -99,5 +106,9 @@ def mksubset(in_dir: str, out_dir: str, *, limit_hours: Optional[float] = None,
              "n_train": len(train), "n_dev": len(dev), "n_eval": len(test)}
     print(f"abs max: {abs_max:.4f}; "
           f"recommended global_gain_scale <= {stats['recommended_global_gain_scale']:.4f}")
-    print(f"splits: train_no_dev={len(train)} dev={len(dev)} eval={len(test)}")
+    if train_dev_test_split:
+        print(f"splits: train_no_dev={len(train)} dev={len(dev)} "
+              f"eval={len(test)}")
+    else:
+        print(f"copied {len(train)} utterances (no split)")
     return stats
