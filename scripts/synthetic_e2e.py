@@ -2,14 +2,19 @@
 """End-to-end quality validation on synthetic audio.
 
 Builds a corpus of harmonic tones with per-utterance F0, trains a mid-size
-mu-law WaveNet conditioned on log-mel until the loss drops well below the
+WaveNet conditioned on log-mel until the loss drops well below the
 unconditional entropy, then free-runs generation from a HELD-OUT utterance's
 mel and checks the generated waveform's dominant frequency matches that
 utterance's F0 — i.e. the model actually uses its conditioning.
 
+Covers all three output heads of the reference recipes (egs/{mulaw256,mol,
+gaussian}; reference: hparams.py:20-21, 51-52): --head selects the
+categorical mu-law-256 head, the discretized-mixture-of-logistics head on
+raw audio, or the single-Gaussian (ClariNet-teacher) head.
+
 This is the closest available stand-in for perceptual validation in a
 zero-egress environment with no speech corpus. Run on TPU:
-    python scripts/synthetic_e2e.py [--steps N]
+    python scripts/synthetic_e2e.py [--steps N] [--head mulaw256|mol|gaussian]
 """
 import argparse
 import os
@@ -45,6 +50,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--sr", type=int, default=16000)
+    ap.add_argument("--head", default="mulaw256",
+                    choices=("mulaw256", "mol", "gaussian"))
     args = ap.parse_args()
 
     try:
@@ -63,8 +70,19 @@ def main() -> int:
         create_train_state, make_train_step)
 
     sr = args.sr
+    # head-specific keys mirror the three reference recipes
+    # (egs/{mulaw256,mol,gaussian}/conf; reference: hparams.py:20-21, 51-52)
+    head_cfg = {
+        "mulaw256": dict(input_type="mulaw-quantize", quantize_channels=256,
+                         out_channels=256),
+        "mol": dict(input_type="raw", quantize_channels=65536,
+                    out_channels=10 * 3, output_distribution="Logistic",
+                    log_scale_min=-16.0),
+        "gaussian": dict(input_type="raw", quantize_channels=65536,
+                         out_channels=2, output_distribution="Normal",
+                         log_scale_min=-16.0),
+    }[args.head]
     cfg = Config(
-        input_type="mulaw-quantize", quantize_channels=256, out_channels=256,
         sample_rate=sr, fft_size=512, hop_size=128, win_length=512,
         num_mels=40, fmin=60, fmax=7600, cin_channels=40, cin_pad=2,
         layers=12, stacks=2, residual_channels=64, gate_channels=128,
@@ -72,10 +90,11 @@ def main() -> int:
         upsample_conditional_features=True,
         upsample_params={"upsample_scales": [4, 4, 8]},
         batch_size=8, lr_schedule="",
-        optimizer_params={"lr": 5e-4, "eps": 1e-8, "weight_decay": 0.0})
+        optimizer_params={"lr": 5e-4, "eps": 1e-8, "weight_decay": 0.0},
+        **head_cfg)
     spec = spec_from_config(cfg)
     print(f"model: {cfg.layers}L/{cfg.stacks}S r{cfg.residual_channels} "
-          f"rf={spec.receptive_field}", flush=True)
+          f"rf={spec.receptive_field} head={args.head}", flush=True)
 
     # corpus: 8 train F0s + 1 held-out
     rs = np.random.RandomState(0)
@@ -86,11 +105,16 @@ def main() -> int:
     mu = cfg.quantize_channels - 1
     hop = cfg.hop_size
 
+    scalar = cfg.is_scalar_input
+
     def featurize(wav):
         mel = dsp.logmelspectrogram(wav, cfg)
-        codes = mulaw_quantize(np.clip(wav, -1, 1), mu)
-        n = min(len(codes) // hop, mel.shape[0])
-        return codes[:n * hop], mel[:n]
+        if scalar:
+            target = np.clip(wav, -1, 1).astype(np.float32)
+        else:
+            target = mulaw_quantize(np.clip(wav, -1, 1), mu)
+        n = min(len(target) // hop, mel.shape[0])
+        return target[:n * hop], mel[:n]
 
     train_data = [featurize(make_utterance(f, sr, 2.0, rs)) for f in f0s]
     test_wav = make_utterance(f0_test, sr, 1.5, np.random.RandomState(99))
@@ -104,13 +128,20 @@ def main() -> int:
     def sample_batch(step_rs):
         xs, ys, cs = [], [], []
         for _ in range(cfg.batch_size):
-            codes, mel = train_data[step_rs.randint(len(train_data))]
+            target, mel = train_data[step_rs.randint(len(train_data))]
             max_s = mel.shape[0] - frames - cfg.cin_pad
             s = step_rs.randint(cfg.cin_pad, max_s)
-            xs.append(eye[codes[s * hop:(s + frames) * hop]])
-            ys.append(codes[s * hop:(s + frames) * hop])
+            seg = target[s * hop:(s + frames) * hop]
+            if scalar:
+                xs.append(seg[:, None])
+                ys.append(seg[:, None])
+            else:
+                xs.append(eye[seg])
+                ys.append(seg)
             cs.append(mel[s - cfg.cin_pad:s + frames + cfg.cin_pad])
-        return {"x": np.stack(xs), "y": np.stack(ys).astype(np.int32),
+        y = np.stack(ys)
+        return {"x": np.stack(xs).astype(np.float32),
+                "y": y.astype(np.float32) if scalar else y.astype(np.int32),
                 "c": np.stack(cs).astype(np.float32),
                 "input_lengths": np.full(cfg.batch_size, T, np.int32)}
 
@@ -149,10 +180,19 @@ def main() -> int:
     f0_ref = dominant_f0(test_wav, sr)
     print(f"\nloss: {first:.3f} -> {final_loss:.3f}")
     print(f"held-out F0: reference {f0_ref:.1f} Hz, generated {f0_gen:.1f} Hz")
-    dsp.save_wav(wav, "/tmp/synthetic_e2e_gen.wav", sr)
-    print("wrote /tmp/synthetic_e2e_gen.wav")
+    out_wav = f"/tmp/synthetic_e2e_{args.head}_gen.wav"
+    dsp.save_wav(wav, out_wav, sr)
+    print(f"wrote {out_wav}")
 
-    ok_loss = final_loss < first * 0.5
+    if args.head == "mol":
+        # discretized NLL over 64k bins: absolute drop, floor isn't near zero
+        ok_loss = final_loss < first - 2.0
+    elif args.head == "gaussian":
+        # continuous NLL, starts near 0.5*log(2*pi*var) and goes negative as
+        # the predicted scales shrink on near-deterministic tones
+        ok_loss = final_loss < first - 1.0
+    else:
+        ok_loss = final_loss < first * 0.5
     ok_f0 = abs(f0_gen - f0_ref) < 0.15 * f0_ref
     print(f"loss-drop check: {'PASS' if ok_loss else 'FAIL'}; "
           f"F0-tracking check: {'PASS' if ok_f0 else 'FAIL'}")
