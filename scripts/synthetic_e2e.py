@@ -52,6 +52,7 @@ def main() -> int:
     ap.add_argument("--sr", type=int, default=16000)
     ap.add_argument("--head", default="mulaw256",
                     choices=("mulaw256", "mol", "gaussian"))
+    ap.add_argument("--lr", type=float, default=5e-4)
     args = ap.parse_args()
 
     try:
@@ -90,7 +91,7 @@ def main() -> int:
         upsample_conditional_features=True,
         upsample_params={"upsample_scales": [4, 4, 8]},
         batch_size=8, lr_schedule="",
-        optimizer_params={"lr": 5e-4, "eps": 1e-8, "weight_decay": 0.0},
+        optimizer_params={"lr": args.lr, "eps": 1e-8, "weight_decay": 0.0},
         **head_cfg)
     spec = spec_from_config(cfg)
     print(f"model: {cfg.layers}L/{cfg.stacks}S r{cfg.residual_channels} "

@@ -59,6 +59,32 @@ def dump_dir(tmp_path_factory):
     return out_dir
 
 
+def test_preprocess_plugin_importlib(tmp_path, monkeypatch):
+    # extensibility parity: dataset plugins resolvable as importable modules
+    # exposing build_from_path (reference: preprocess.py:70)
+    plug_dir = tmp_path / "plugins"
+    plug_dir.mkdir()
+    (plug_dir / "myplugin.py").write_text(
+        "import os\nimport numpy as np\n"
+        "def build_from_path(in_dir, out_dir, cfg, num_workers=1,\n"
+        "                    tqdm=lambda x: x):\n"
+        "    np.save(os.path.join(out_dir, 'a-wave.npy'),\n"
+        "            np.zeros(cfg.hop_size * 4, np.int16))\n"
+        "    np.save(os.path.join(out_dir, 'a-feats.npy'),\n"
+        "            np.zeros((4, cfg.num_mels), np.float32))\n"
+        "    return [('a-wave.npy', 'a-feats.npy', 4, 'dummy')]\n")
+    monkeypatch.syspath_prepend(str(plug_dir))
+    out = str(tmp_path / "out")
+    preprocess("myplugin", "unused", out, CFG, num_workers=1)
+    assert sorted(os.listdir(out)) == [
+        "a-feats.npy", "a-wave.npy", "train.txt"]
+
+    with pytest.raises(ValueError, match="Unknown dataset plugin"):
+        preprocess("no_such_plugin_xyz", "unused", out, CFG)
+    with pytest.raises(ValueError, match="no longer supported"):
+        preprocess("ljspeech", "unused", out, CFG)
+
+
 def test_preprocess_outputs(dump_dir):
     files = os.listdir(dump_dir)
     waves = [f for f in files if f.endswith("-wave.npy")]

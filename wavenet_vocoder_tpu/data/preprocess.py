@@ -119,11 +119,25 @@ def preprocess(dataset_name: str, in_dir: str, out_dir: str, cfg: Config,
         raise ValueError(
             f"{dataset_name} is no longer supported — use the mksubset + "
             "wavallin flow instead (reference: preprocess.py:58-68)")
-    if dataset_name not in DATASET_PLUGINS:
-        raise ValueError(f"Unknown dataset plugin: {dataset_name!r}")
+    if dataset_name in DATASET_PLUGINS:
+        build = DATASET_PLUGINS[dataset_name]
+    else:
+        # extensibility parity: any importable module exposing
+        # build_from_path(in_dir, out_dir, cfg, num_workers, tqdm) works as a
+        # dataset plugin (reference: preprocess.py:70 importlib lookup)
+        import importlib
+        try:
+            mod = importlib.import_module(dataset_name)
+        except ImportError:
+            raise ValueError(
+                f"Unknown dataset plugin: {dataset_name!r} (not a built-in "
+                f"{sorted(DATASET_PLUGINS)} and not an importable module)")
+        build = getattr(mod, "build_from_path", None)
+        if build is None:
+            raise ValueError(
+                f"Plugin module {dataset_name!r} lacks build_from_path")
     os.makedirs(out_dir, exist_ok=True)
-    metadata = DATASET_PLUGINS[dataset_name](in_dir, out_dir, cfg,
-                                             num_workers)
+    metadata = build(in_dir, out_dir, cfg, num_workers)
     write_metadata(metadata, out_dir, cfg)
 
 
