@@ -21,7 +21,7 @@ from wavenet_vocoder_tpu.cli.synthesis import load_params_and_config
 from wavenet_vocoder_tpu.dsp import audio
 from wavenet_vocoder_tpu.models.wavenet import spec_from_config
 from wavenet_vocoder_tpu.ops.mulaw import inv_mulaw, inv_mulaw_quantize
-from wavenet_vocoder_tpu.synthesis import batch_wavegen, pad_mel_context
+from wavenet_vocoder_tpu.synthesis import pad_mel_context
 
 
 def main(argv=None) -> None:
@@ -48,6 +48,10 @@ def main(argv=None) -> None:
     p.add_argument("--output-html", action="store_true",
                    help="suppress per-batch progress output "
                         "(reference: evaluate.py:198-200)")
+    p.add_argument("--engine", default="scan", choices=("scan", "pallas"),
+                   help="decoder engine: scan runs anywhere; pallas is the "
+                        "fused TPU kernel (fastest on TPU; weights packed "
+                        "once across batches)")
     args = p.parse_args(argv)
 
     if args.verbose > 0:
@@ -58,10 +62,10 @@ def main(argv=None) -> None:
         args.checkpoint, args.preset, args.hparams)
     spec = spec_from_config(cfg)
     os.makedirs(args.out_dir, exist_ok=True)
-    # fold weight norm ONCE (make_generation_fast_; reference:
-    # synthesis.py:48-49), not per batch
-    from wavenet_vocoder_tpu.models.wavenet import make_generation_fast
-    params = make_generation_fast(params)
+    # fold weight norm (and for pallas, pack kernel weights) ONCE across all
+    # batches (make_generation_fast_; reference: synthesis.py:48-49)
+    from wavenet_vocoder_tpu.synthesis import Synthesizer
+    synth = Synthesizer(params, cfg, spec=spec, engine=args.engine)
 
     feats = sorted(glob(os.path.join(args.dump_dir, "*-feats.npy")))
     if not feats:
@@ -112,8 +116,8 @@ def main(argv=None) -> None:
                             for f in chunk], np.int32)
         else:
             g = None
-        wavs = batch_wavegen(params, cfg, spec=spec, c=c, g=g,
-                             rng=jax.random.fold_in(rng, i), fast=False)
+        wavs = synth(c, g=g, rng=jax.random.fold_in(rng, i),
+                     pad_context=False)
         for j, fpath in enumerate(chunk):
             name = os.path.basename(fpath).replace("-feats.npy", "")
             if g is not None and multi_speaker:

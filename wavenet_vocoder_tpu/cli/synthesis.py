@@ -60,6 +60,9 @@ def main(argv=None) -> None:
     p.add_argument("--output-html", action="store_true",
                    help="print an <audio> html snippet for the generated wav "
                         "(reference: synthesis.py:204)")
+    p.add_argument("--engine", default="scan", choices=("scan", "pallas"),
+                   help="decoder engine: scan runs anywhere; pallas is the "
+                        "fused TPU kernel (fastest on TPU)")
     args = p.parse_args(argv)
 
     params, cfg, step = load_params_and_config(
@@ -71,7 +74,7 @@ def main(argv=None) -> None:
     wav = wavegen(params, cfg, c=c, g=args.speaker_id,
                   length=None if c is not None else args.length,
                   initial_value=args.initial_value,
-                  rng=jax.random.PRNGKey(args.seed))
+                  rng=jax.random.PRNGKey(args.seed), engine=args.engine)
     dst = args.dst_wav
     if os.path.isdir(dst):
         # directory destination: name after the checkpoint, like the

@@ -194,7 +194,8 @@ def wavegen(params: Params, cfg: Config, *,
             c: Optional[np.ndarray] = None,
             g: Optional[Any] = None,
             initial_value: Optional[float] = None,
-            rng=None, fast: bool = True) -> np.ndarray:
+            rng=None, fast: bool = True,
+            engine: str = "scan") -> np.ndarray:
     """Single-utterance generation (reference: synthesis.py:101-188).
 
     c: (T_mel, D) mel (WITHOUT cin_pad context — it is added here), or
@@ -221,10 +222,11 @@ def wavegen(params: Params, cfg: Config, *,
         wav = batch_wavegen(params, cfg, spec=spec, c=c_in,
                             g=None if g is None else np.asarray([g]),
                             T=length, initial_input=init_in,
-                            rng=rng, fast=fast)
+                            rng=rng, fast=fast, engine=engine)
         return wav[0]
     assert length is not None
     g_arr = None if g is None else np.asarray([g])
     wav = batch_wavegen(params, cfg, spec=spec, c=None, g=g_arr, T=length,
-                        initial_input=init_in, rng=rng, fast=fast)
+                        initial_input=init_in, rng=rng, fast=fast,
+                        engine=engine)
     return wav[0]
