@@ -1,0 +1,222 @@
+"""Torch-checkpoint import: reference .pth -> our param pytree.
+
+The inverse direction of tests/test_reference_oracle.py: there OUR weights
+are transplanted into the reference torch model; here a randomly initialized
+REFERENCE model is saved as a real reference-format checkpoint
+(reference: train.py:852-884) and imported, and the two forwards must agree
+elementwise. Covers weight-normed and folded (make_generation_fast_) forms,
+conditioning variants, the EMA twin, and the conversion CLI.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE = os.environ.get("WAVENET_REFERENCE", "/root/reference")
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REFERENCE, "wavenet_vocoder")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+from wavenet_vocoder import WaveNet as RefWaveNet  # noqa: E402
+
+from wavenet_vocoder_tpu.compat.torch_import import (  # noqa: E402
+    ema_twin_path,
+    load_torch_checkpoint,
+    params_from_state_dict,
+)
+from wavenet_vocoder_tpu.models.wavenet import (  # noqa: E402
+    WaveNetSpec,
+    apply_wavenet,
+)
+
+torch.manual_seed(1234)
+
+
+def _make_spec(**kw):
+    return WaveNetSpec(
+        out_channels=kw.get("out_channels", 30),
+        layers=kw.get("layers", 4),
+        stacks=kw.get("stacks", 2),
+        residual_channels=16,
+        gate_channels=32,
+        skip_out_channels=16,
+        kernel_size=3,
+        dropout=0.0,
+        cin_channels=kw.get("cin_channels", -1),
+        gin_channels=kw.get("gin_channels", -1),
+        n_speakers=kw.get("n_speakers"),
+        upsample_conditional_features=kw.get("upsample", False),
+        upsample_scales=kw.get("upsample_scales", (4, 4, 4, 4)),
+        cin_pad=kw.get("cin_pad", 0),
+        scalar_input=kw.get("scalar_input", True),
+        use_speaker_embedding=kw.get("use_speaker_embedding", False),
+    )
+
+
+def _make_ref(spec: WaveNetSpec) -> RefWaveNet:
+    upsample_params = {"upsample_scales": list(spec.upsample_scales)}
+    if spec.upsample_conditional_features:
+        upsample_params["cin_pad"] = spec.cin_pad
+        upsample_params["cin_channels"] = spec.cin_channels
+    return RefWaveNet(
+        out_channels=spec.out_channels, layers=spec.layers,
+        stacks=spec.stacks, residual_channels=spec.residual_channels,
+        gate_channels=spec.gate_channels,
+        skip_out_channels=spec.skip_out_channels,
+        kernel_size=spec.kernel_size, dropout=0.0,
+        cin_channels=spec.cin_channels, gin_channels=spec.gin_channels,
+        n_speakers=spec.n_speakers,
+        upsample_conditional_features=spec.upsample_conditional_features,
+        upsample_net=spec.upsample_net,
+        upsample_params=upsample_params,
+        scalar_input=spec.scalar_input,
+        use_speaker_embedding=spec.use_speaker_embedding,
+        cin_pad=spec.cin_pad,
+    ).eval()
+
+
+def _forward_ref(ref, x_btc, c_btc=None, g=None):
+    x = torch.from_numpy(np.ascontiguousarray(x_btc.transpose(0, 2, 1)))
+    c = (None if c_btc is None else
+         torch.from_numpy(np.ascontiguousarray(c_btc.transpose(0, 2, 1))))
+    gt = None if g is None else torch.from_numpy(np.asarray(g))
+    with torch.no_grad():
+        y = ref(x, c=c, g=gt, softmax=False)
+    return y.numpy().transpose(0, 2, 1)
+
+
+def _compare(ref, spec, *, T=48, cin=None, g=None, seed=0, atol=1e-4):
+    params = params_from_state_dict(
+        {k: v for k, v in ref.state_dict().items()}, spec)
+    rs = np.random.RandomState(seed)
+    if spec.scalar_input:
+        x = rs.uniform(-0.9, 0.9, (2, T, 1)).astype(np.float32)
+    else:
+        ids = rs.randint(0, spec.out_channels, (2, T))
+        x = np.eye(spec.out_channels, dtype=np.float32)[ids]
+    c = None
+    if cin is not None:
+        c = rs.randn(2, cin[0], spec.cin_channels).astype(np.float32)
+    ours = np.asarray(apply_wavenet(
+        params, spec, jnp.asarray(x),
+        c=None if c is None else jnp.asarray(c),
+        g=None if g is None else jnp.asarray(g)))
+    theirs = _forward_ref(ref, x, c, g)
+    np.testing.assert_allclose(ours, theirs, atol=atol, rtol=1e-4)
+
+
+def test_import_scalar_local_cond():
+    spec = _make_spec(cin_channels=20)
+    ref = _make_ref(spec)
+    _compare(ref, spec, cin=(48,))
+
+
+def test_import_onehot_unconditional():
+    spec = _make_spec(out_channels=64, scalar_input=False)
+    ref = _make_ref(spec)
+    _compare(ref, spec)
+
+
+def test_import_speaker_embedding_and_upsample():
+    scales = (2, 2)
+    cin_pad = 2
+    spec = _make_spec(cin_channels=10, gin_channels=12, n_speakers=3,
+                      use_speaker_embedding=True, upsample=True,
+                      upsample_scales=scales, cin_pad=cin_pad)
+    ref = _make_ref(spec)
+    frames = 20
+    T = (frames - 2 * cin_pad) * int(np.prod(scales))
+    _compare(ref, spec, T=T, cin=(frames,), g=np.array([0, 2], np.int64))
+
+
+def test_import_folded_weight_norm():
+    """After make_generation_fast_ the state dict has plain .weight keys —
+    the importer must produce {w} params with identical math
+    (reference: wavenet.py:355-361)."""
+    spec = _make_spec(cin_channels=20)
+    ref = _make_ref(spec)
+    before = params_from_state_dict(dict(ref.state_dict()), spec)
+    ref.make_generation_fast_()
+    _compare(ref, spec, cin=(48,))
+    after = params_from_state_dict(dict(ref.state_dict()), spec)
+    assert "w" in after["first_conv"] and "v" in before["first_conv"]
+
+
+def test_import_rejects_wrong_spec():
+    spec = _make_spec(cin_channels=20)
+    ref = _make_ref(spec)
+    wrong = _make_spec(cin_channels=20, layers=6, stacks=2)
+    with pytest.raises((KeyError, ValueError)):
+        params_from_state_dict(dict(ref.state_dict()), wrong)
+
+
+def test_full_checkpoint_and_counters(tmp_path):
+    spec = _make_spec(cin_channels=20)
+    ref = _make_ref(spec)
+    path = str(tmp_path / "checkpoint_step000001234.pth")
+    torch.save({
+        "state_dict": ref.state_dict(),
+        "optimizer": None,
+        "global_step": 1234,
+        "global_epoch": 7,
+        "global_test_step": 99,
+    }, path)
+    params, counters = load_torch_checkpoint(path, spec)
+    assert counters == {"global_step": 1234, "global_epoch": 7,
+                        "global_test_step": 99}
+    assert "blocks" in params and len(params["blocks"]) == spec.layers
+    # EMA twin detection
+    assert ema_twin_path(path) is None
+    twin = str(tmp_path / "checkpoint_step000001234_ema.pth")
+    torch.save({"state_dict": ref.state_dict(), "global_step": 1234}, twin)
+    assert ema_twin_path(path) == twin
+    assert ema_twin_path(twin) is None
+
+
+def test_import_cli_roundtrip(tmp_path):
+    """CLI writes our checkpoint format; loading it back into a TrainState
+    restores params + counters (the migration path end-to-end)."""
+    import pickle
+
+    from wavenet_vocoder_tpu.cli.import_checkpoint import main as cli_main
+    from wavenet_vocoder_tpu.config import Config
+
+    cfg = Config(
+        input_type="raw", quantize_channels=65536, out_channels=30,
+        layers=4, stacks=2, residual_channels=16, gate_channels=32,
+        skip_out_channels=16, kernel_size=3, cin_channels=20,
+        upsample_conditional_features=False, cin_pad=0, gin_channels=-1)
+    from wavenet_vocoder_tpu.models.wavenet import spec_from_config
+    spec = spec_from_config(cfg)
+    ref = _make_ref(spec)
+
+    src = str(tmp_path / "checkpoint_step000000100.pth")
+    torch.save({"state_dict": ref.state_dict(), "global_step": 100,
+                "global_epoch": 2, "global_test_step": 5}, src)
+    torch.save({"state_dict": ref.state_dict(), "global_step": 100},
+               str(tmp_path / "checkpoint_step000000100_ema.pth"))
+    preset = str(tmp_path / "preset.json")
+    with open(preset, "w") as f:
+        f.write(cfg.to_json())
+
+    out_dir = str(tmp_path / "out")
+    cli_main([src, out_dir, "--preset", preset])
+
+    with open(os.path.join(out_dir, "checkpoint_step000000100.pkl"),
+              "rb") as f:
+        payload = pickle.load(f)
+    assert payload["global_step"] == 100 and payload["global_epoch"] == 2
+    direct, _ = load_torch_checkpoint(src, spec)
+    np.testing.assert_allclose(payload["params"]["first_conv"]["v"],
+                               np.asarray(direct["first_conv"]["v"]))
+    # EMA twin + latest copies + hparams.json all materialize
+    for name in ("checkpoint_step000000100_ema.pkl", "checkpoint_latest.pkl",
+                 "checkpoint_latest_ema.pkl", "hparams.json"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
