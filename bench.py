@@ -116,7 +116,8 @@ def main():
             params, spec, chunk=chunk,
             vmem_limit_bytes=None if vmem_mb is None
             else int(float(vmem_mb) * 2 ** 20),
-            variant=variant)
+            variant=variant,
+            unroll=int(os.environ.get("BENCH_UNROLL", "1")))
         est = gen.estimate_vmem_bytes(B)
         print(f"# pallas vmem estimate: {est / 2**20:.1f} MiB "
               f"(B={B}, chunk={chunk})", file=sys.stderr)

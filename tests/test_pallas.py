@@ -193,3 +193,19 @@ def test_chain_unconditional_single_layer():
         p, spec, jax.random.PRNGKey(0), T=24, weight_dtype=jnp.float32,
         chunk=8, deterministic=True, interpret=True, variant="chain"))
     np.testing.assert_array_equal(codes_fused, codes_chain)
+
+
+def test_unrolled_loop_matches_scan():
+    """unroll=chunk (Mosaic supports only 1 or full unroll) is pure
+    scheduling — outputs must be identical to the rolled loop."""
+    spec = _spec()
+    p = init_wavenet(jax.random.PRNGKey(0), spec)
+    B, T = 2, 64
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    rolled = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True))
+    unrolled = np.asarray(generate_pallas(
+        p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
+        chunk=16, deterministic=True, interpret=True, unroll=16))
+    np.testing.assert_array_equal(rolled, unrolled)

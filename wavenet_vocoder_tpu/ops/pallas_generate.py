@@ -171,7 +171,7 @@ def _uniform_from_bits(bits, lo=1e-5):
 
 def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                  has_gate: bool, log_scale_min: float, deterministic: bool,
-                 variant: str = "fused"):
+                 variant: str = "fused", unroll: int = 1):
     """Build the kernel body (closure over static structure).
 
     variant:
@@ -416,14 +416,18 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                 ).astype(jnp.float32)
             return 0
 
-        jax.lax.fori_loop(0, chunk, step, 0)
+        # unroll>1 trades instruction-memory for scheduling freedom: the
+        # sampler/VPU tail of step t can overlap the ring-buffer reads and
+        # off-chain matmuls of step t+1 (the AR data dependency only pins the
+        # first-conv matmul).
+        jax.lax.fori_loop(0, chunk, step, 0, unroll=unroll)
 
     return kernel, total_rows
 
 
 @partial(jax.jit, static_argnames=("spec", "T", "chunk", "log_scale_min",
                                    "deterministic", "interpret",
-                                   "vmem_limit_bytes", "variant"))
+                                   "vmem_limit_bytes", "variant", "unroll"))
 def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          spec: WaveNetSpec, *, T: int,
                          c_up: Optional[jnp.ndarray],
@@ -435,7 +439,8 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          deterministic: bool,
                          interpret: bool = False,
                          vmem_limit_bytes: Optional[int] = None,
-                         variant: str = "fused"
+                         variant: str = "fused",
+                         unroll: int = 1
                          ) -> jnp.ndarray:
     B = x0.shape[0]
     has_cond = c_up is not None
@@ -446,7 +451,7 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
     kernel, total_rows = _make_kernel(
         spec, B=B, chunk=chunk, has_cond=has_cond, has_gate=has_gate,
         log_scale_min=log_scale_min, deterministic=deterministic,
-        variant=variant)
+        variant=variant, unroll=unroll)
 
     wref = packed["w_old"] if variant == "chain" else packed["w_in"]
     if has_cond:
@@ -530,13 +535,15 @@ class PallasGenerator:
     def __init__(self, params: Params, spec: WaveNetSpec, *,
                  weight_dtype=jnp.bfloat16, chunk: int = DEFAULT_CHUNK,
                  vmem_limit_bytes: Optional[int] = None,
-                 split_taps: bool = False, variant: str = "fused"):
+                 split_taps: bool = False, variant: str = "fused",
+                 unroll: int = 1):
         if split_taps:
             variant = "split_taps"
         self.spec = spec
         self.chunk = chunk
         self.vmem_limit_bytes = vmem_limit_bytes
         self.variant = variant
+        self.unroll = unroll
         self.params = make_generation_fast(params)
         self.packed = jax.device_put(
             pack_weights(self.params, spec, dtype=weight_dtype,
@@ -622,7 +629,8 @@ class PallasGenerator:
             self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate, x0=x0,
             seed=seed, chunk=chunk, log_scale_min=float(log_scale_min),
             deterministic=deterministic, interpret=interpret,
-            vmem_limit_bytes=vmem_limit, variant=self.variant)
+            vmem_limit_bytes=vmem_limit, variant=self.variant,
+            unroll=self.unroll)
         return out[:, :T]
 
 
@@ -636,7 +644,8 @@ def generate_pallas(params: Params, spec: WaveNetSpec, rng, *,
                     chunk: int = DEFAULT_CHUNK,
                     deterministic: bool = False,
                     interpret: bool = False,
-                    variant: str = "fused") -> jnp.ndarray:
+                    variant: str = "fused",
+                    unroll: int = 1) -> jnp.ndarray:
     """One-shot fused-kernel generation (packs weights per call — prefer
     :class:`PallasGenerator` for repeated use).
 
@@ -645,7 +654,7 @@ def generate_pallas(params: Params, spec: WaveNetSpec, rng, *,
     directly via inv_mulaw_quantize).
     """
     gen = PallasGenerator(params, spec, weight_dtype=weight_dtype, chunk=chunk,
-                          variant=variant)
+                          variant=variant, unroll=unroll)
     return gen(rng, T=T, c=c, g=g, initial_input=initial_input,
                log_scale_min=log_scale_min, deterministic=deterministic,
                interpret=interpret)

@@ -73,7 +73,8 @@ def batch_wavegen(params: Params, cfg: Config, *,
                   T: Optional[int] = None,
                   initial_input: Optional[jnp.ndarray] = None,
                   rng=None, fast: bool = True,
-                  mesh=None, engine: str = "scan") -> np.ndarray:
+                  mesh=None, engine: str = "scan",
+                  **engine_kwargs) -> np.ndarray:
     """Generate a batch of waveforms (reference: synthesis.py:42-86).
 
     Args:
@@ -86,6 +87,9 @@ def batch_wavegen(params: Params, cfg: Config, *,
       engine: "scan" (XLA lax.scan decoder) or "pallas" (fused TPU kernel
         with VMEM-resident weights — fastest on real TPU hardware; bf16
         weights, own PRNG stream).
+      engine_kwargs: pallas-engine knobs forwarded to
+        :func:`ops.pallas_generate.generate_pallas` (chunk, variant, unroll,
+        weight_dtype, deterministic, interpret).
     Returns (B, T) float32 waveforms.
     """
     spec = spec or spec_from_config(cfg)
@@ -116,8 +120,12 @@ def batch_wavegen(params: Params, cfg: Config, *,
         from wavenet_vocoder_tpu.ops.pallas_generate import generate_pallas
         samples = generate_pallas(params, spec, rng, T=T, c=c, g=g,
                                   initial_input=initial_input,
-                                  log_scale_min=cfg.log_scale_min)
+                                  log_scale_min=cfg.log_scale_min,
+                                  **engine_kwargs)
         return _decode(cfg, samples)
+    if engine_kwargs:
+        raise TypeError(f"engine='scan' takes no engine_kwargs, "
+                        f"got {sorted(engine_kwargs)}")
     out = generate(params, spec, rng, T=T, c=c, g=g,
                    initial_input=initial_input,
                    softmax=True, quantize=True,
