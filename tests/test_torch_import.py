@@ -220,3 +220,36 @@ def test_import_cli_roundtrip(tmp_path):
     for name in ("checkpoint_step000000100_ema.pkl", "checkpoint_latest.pkl",
                  "checkpoint_latest_ema.pkl", "hparams.json"):
         assert os.path.exists(os.path.join(out_dir, name)), name
+
+
+def test_ar_decoder_parity_with_reference_incremental_forward():
+    """The strongest generation-parity oracle: the reference's own
+    incremental_forward (teacher-forced, softmax probs; reference:
+    wavenet.py:215-343) vs our scan decoder on IMPORTED weights — the whole
+    migration story (import -> generate) validated elementwise."""
+    from wavenet_vocoder_tpu.ops.generate import generate
+
+    spec = _make_spec(out_channels=256, scalar_input=False, cin_channels=12)
+    ref = _make_ref(spec)
+    params = params_from_state_dict(dict(ref.state_dict()), spec)
+
+    rs = np.random.RandomState(11)
+    B, T = 2, 40
+    ids = rs.randint(0, 256, (B, T))
+    x = np.eye(256, dtype=np.float32)[ids]           # (B, T, 256)
+    c = rs.randn(B, T, 12).astype(np.float32)
+
+    ours = np.asarray(generate(
+        params, spec, jax.random.PRNGKey(0),
+        test_inputs=jnp.asarray(x), c=jnp.asarray(c),
+        softmax=True, quantize=False, output="samples")["samples"])
+
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 2, 1)))
+    ct = torch.from_numpy(np.ascontiguousarray(c.transpose(0, 2, 1)))
+    with torch.no_grad():
+        theirs = ref.incremental_forward(
+            test_inputs=xt, c=ct, T=T, softmax=True, quantize=False,
+            tqdm=lambda it: it)
+    theirs = theirs.numpy().transpose(0, 2, 1)       # (B, T, 256)
+
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
