@@ -31,8 +31,10 @@ def bench_train():
     from wavenet_vocoder_tpu.training.train_state import (
         create_train_state, make_train_step)
 
-    cfg = Config()  # flagship MoL, batch 8 x 10240 crop, bf16 compute
-    B = int(os.environ.get("BENCH_BATCH", cfg.batch_size))
+    cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))))
+    # flagship MoL, 10240 crop, bf16 compute. B=16 beats the config default
+    # B=8 by ~1.6x on v5e-1 (fills the MXU better); B=32 needs BENCH_REMAT=1.
+    B = int(os.environ.get("BENCH_BATCH", 16))
     T = cfg.max_time_steps
     frames = T // cfg.hop_size + 2 * cfg.cin_pad
     rs = np.random.RandomState(0)

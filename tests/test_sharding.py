@@ -143,3 +143,39 @@ def test_tensor_parallel_matches_replicated():
     for a, b in zip(jax.tree.leaves(s_repl.params),
                     jax.tree.leaves(s_tp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_checkpoint_resume_under_mesh(tmp_path):
+    """Save mid-run from a SHARDED state, restore, re-shard, continue —
+    must match the uninterrupted sharded run exactly (checkpoints are
+    host-numpy pytrees, so device layout round-trips losslessly)."""
+    from wavenet_vocoder_tpu.training.checkpoint import (
+        load_checkpoint, save_checkpoint)
+
+    cfg = Config(**TINY)
+    train_step, _ = make_train_step(cfg)
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+    mesh = make_mesh({"data": -1})
+    batch_sh = shard_batch(batch, mesh)
+
+    state = shard_state(create_train_state(cfg), mesh)
+    state, _ = train_step(state, batch_sh, rng)
+    state, _ = train_step(state, batch_sh, rng)
+    path = save_checkpoint(str(tmp_path), state, global_step=2)
+
+    # uninterrupted continuation
+    cont, m_ref = train_step(state, batch_sh, rng)
+
+    # cold restore into a fresh state, re-shard, continue
+    fresh = shard_state(create_train_state(cfg), mesh)
+    restored, counters = load_checkpoint(path, fresh)
+    assert counters["global_step"] == 2
+    restored = shard_state(restored, mesh)
+    resumed, m_res = train_step(restored, batch_sh, rng)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_res["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(cont.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
