@@ -253,3 +253,28 @@ def test_ar_decoder_parity_with_reference_incremental_forward():
     theirs = theirs.numpy().transpose(0, 2, 1)       # (B, T, 256)
 
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_import_rejects_unconsumed_conditioning_weights():
+    """A speaker-conditioned checkpoint imported with an unconditioned spec
+    must fail loudly (the weights would otherwise be silently dropped and
+    the model would generate unconditioned audio)."""
+    spec = _make_spec(cin_channels=20, gin_channels=12, n_speakers=3,
+                      use_speaker_embedding=True)
+    ref = _make_ref(spec)
+    no_g = _make_spec(cin_channels=20)
+    with pytest.raises(ValueError, match="no slot"):
+        params_from_state_dict(dict(ref.state_dict()), no_g)
+    no_c = _make_spec(gin_channels=12, n_speakers=3,
+                      use_speaker_embedding=True)
+    with pytest.raises(ValueError, match="no slot"):
+        params_from_state_dict(dict(ref.state_dict()), no_c)
+
+
+def test_pallas_generator_rejects_partial_unroll():
+    from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
+    from wavenet_vocoder_tpu.models.wavenet import init_wavenet
+    spec = _make_spec(cin_channels=4)
+    params = init_wavenet(jax.random.PRNGKey(0), spec)
+    with pytest.raises(ValueError, match="unroll"):
+        PallasGenerator(params, spec, chunk=16, unroll=8)

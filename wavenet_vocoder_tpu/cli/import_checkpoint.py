@@ -20,20 +20,17 @@ Adam); training resumes with a fresh optimizer, i.e. the reference's
 from __future__ import annotations
 
 import argparse
-import json
 import os
-import shutil
 from types import SimpleNamespace
 
 from wavenet_vocoder_tpu.compat.torch_import import (
     ema_twin_path,
     load_torch_checkpoint,
 )
-from wavenet_vocoder_tpu.config import load_config
+from wavenet_vocoder_tpu.config import discover_preset, load_config
 from wavenet_vocoder_tpu.models.wavenet import spec_from_config
 from wavenet_vocoder_tpu.training.checkpoint import (
     checkpoint_path,
-    latest_path,
     save_checkpoint,
 )
 
@@ -48,13 +45,9 @@ def main(argv=None) -> None:
     p.add_argument("--hparams", default="", help='"k=v,..." overrides')
     args = p.parse_args(argv)
 
-    preset = args.preset
-    if preset is None:
-        cand = os.path.join(os.path.dirname(os.path.abspath(args.torch_ckpt)),
-                            "hparams.json")
-        if os.path.exists(cand):
-            preset = cand
-            print(f"Using config discovered next to checkpoint: {cand}")
+    preset = discover_preset(args.torch_ckpt, args.preset)
+    if preset is not None and args.preset is None:
+        print(f"Using config discovered next to checkpoint: {preset}")
     cfg = load_config(preset, args.hparams)
     spec = spec_from_config(cfg)
 
@@ -63,30 +56,21 @@ def main(argv=None) -> None:
     print(f"Imported {args.torch_ckpt}: step={step} "
           f"epoch={counters['global_epoch']}")
 
-    state = SimpleNamespace(params=params, opt_state=None, ema_params=None)
+    # save_checkpoint writes the _ema twin stream itself whenever
+    # state.ema_params is set (training/checkpoint.py:57-65)
+    twin = ema_twin_path(args.torch_ckpt)
+    ema_params = load_torch_checkpoint(twin, spec)[0] if twin else None
+    state = SimpleNamespace(params=params, opt_state=None,
+                            ema_params=ema_params)
     out = save_checkpoint(
         args.out_dir, state, global_step=step,
         global_epoch=counters["global_epoch"],
         global_test_step=counters["global_test_step"],
         save_optimizer_state=False)
     print(f"Wrote {out}")
-
-    twin = ema_twin_path(args.torch_ckpt)
     if twin is not None:
-        ema_params, _ = load_torch_checkpoint(twin, spec)
-        ema_state = SimpleNamespace(params=ema_params, opt_state=None,
-                                    ema_params=None)
-        # write via a temp step save, then move into the _ema twin names
-        tmp_dir = os.path.join(args.out_dir, "_ema_import_tmp")
-        tmp = save_checkpoint(tmp_dir, ema_state, global_step=step,
-                              global_epoch=counters["global_epoch"],
-                              global_test_step=counters["global_test_step"],
-                              save_optimizer_state=False)
-        ema_out = checkpoint_path(args.out_dir, step, ema=True)
-        shutil.move(tmp, ema_out)
-        shutil.copyfile(ema_out, latest_path(args.out_dir, ema=True))
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        print(f"Wrote EMA twin {ema_out} (from {twin})")
+        print(f"Wrote EMA twin {checkpoint_path(args.out_dir, step, ema=True)}"
+              f" (from {twin})")
 
     hp_out = os.path.join(args.out_dir, "hparams.json")
     with open(hp_out, "w") as f:

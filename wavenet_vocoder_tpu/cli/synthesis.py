@@ -17,7 +17,7 @@ import pickle
 import jax
 import numpy as np
 
-from wavenet_vocoder_tpu.config import Config, load_config
+from wavenet_vocoder_tpu.config import Config, discover_preset, load_config
 from wavenet_vocoder_tpu.dsp import audio
 from wavenet_vocoder_tpu.synthesis import wavegen
 
@@ -25,10 +25,7 @@ from wavenet_vocoder_tpu.synthesis import wavegen
 def load_params_and_config(checkpoint_path: str, preset, hparams_str):
     """Load checkpoint params + config, auto-discovering hparams.json next to
     the checkpoint when no preset is given (reference: evaluate.py:116-127)."""
-    if preset is None:
-        cand = os.path.join(os.path.dirname(checkpoint_path), "hparams.json")
-        if os.path.exists(cand):
-            preset = cand
+    preset = discover_preset(checkpoint_path, preset)
     cfg = load_config(preset, hparams_str)
     with open(checkpoint_path, "rb") as f:
         payload = pickle.load(f)

@@ -52,42 +52,35 @@ def strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
     return dict(sd)
 
 
-def _conv1d_from(sd: Dict[str, Any], prefix: str) -> Params:
-    """torch (weight-normed or folded) Conv1d -> our conv params."""
+def _conv_from(sd: Dict[str, Any], prefix: str, consumed: set) -> Params:
+    """torch (weight-normed or folded) conv -> our conv params.
+
+    Handles Conv1d and Conv2d alike: torch's (Out, In, K) / (out, in, freq,
+    time) layouts map to ours — (K, In, Out) / (time, freq, in, out) — by a
+    full axis reversal (``.T``). Records every state-dict key it reads in
+    ``consumed`` so the caller can detect leftovers (wrong-preset imports).
+    """
     p: Params = {}
     if f"{prefix}.weight_v" in sd:
-        v = _np(sd[f"{prefix}.weight_v"])                  # (Out, In, K)
-        p["v"] = np.ascontiguousarray(v.transpose(2, 1, 0)).astype(np.float32)
+        v = _np(sd[f"{prefix}.weight_v"])
+        p["v"] = np.ascontiguousarray(v.T).astype(np.float32)
         p["g"] = _np(sd[f"{prefix}.weight_g"]).reshape(-1).astype(np.float32)
+        consumed.update((f"{prefix}.weight_v", f"{prefix}.weight_g"))
     elif f"{prefix}.weight" in sd:
         w = _np(sd[f"{prefix}.weight"])
-        p["w"] = np.ascontiguousarray(w.transpose(2, 1, 0)).astype(np.float32)
+        p["w"] = np.ascontiguousarray(w.T).astype(np.float32)
+        consumed.add(f"{prefix}.weight")
     else:
         raise KeyError(f"no conv weight under '{prefix}' "
                        f"(looked for .weight_v / .weight)")
     if f"{prefix}.bias" in sd:
         p["b"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+        consumed.add(f"{prefix}.bias")
     return p
 
 
-def _conv2d_from(sd: Dict[str, Any], prefix: str) -> Params:
-    """torch upsample smoothing Conv2d -> our (time, freq, in, out) kernel."""
-    p: Params = {}
-    if f"{prefix}.weight_v" in sd:
-        v = _np(sd[f"{prefix}.weight_v"])                  # (out,in,freq,time)
-        p["v"] = np.ascontiguousarray(v.transpose(3, 2, 1, 0)).astype(np.float32)
-        p["g"] = _np(sd[f"{prefix}.weight_g"]).reshape(-1).astype(np.float32)
-    elif f"{prefix}.weight" in sd:
-        w = _np(sd[f"{prefix}.weight"])
-        p["w"] = np.ascontiguousarray(w.transpose(3, 2, 1, 0)).astype(np.float32)
-    else:
-        raise KeyError(f"no conv weight under '{prefix}'")
-    if f"{prefix}.bias" in sd:
-        p["b"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
-    return p
-
-
-def _upsample_convs_from(sd: Dict[str, Any], prefix: str) -> Params:
+def _upsample_convs_from(sd: Dict[str, Any], prefix: str,
+                         consumed: set) -> Params:
     """Collect the per-scale smoothing Conv2ds of a reference UpsampleNetwork.
 
     up_layers interleaves parameter-free Stretch2d (and optional activation)
@@ -100,69 +93,63 @@ def _upsample_convs_from(sd: Dict[str, Any], prefix: str) -> Params:
             idxs.add(int(k[len(f"{prefix}.up_layers."):].split(".")[0]))
     if not idxs:
         raise KeyError(f"no '{prefix}.up_layers.*' keys in state dict")
-    return {"convs": [_conv2d_from(sd, f"{prefix}.up_layers.{j}")
+    return {"convs": [_conv_from(sd, f"{prefix}.up_layers.{j}", consumed)
                       for j in sorted(idxs)]}
 
 
 def params_from_state_dict(sd: Dict[str, Any], spec: WaveNetSpec) -> Params:
     """Reference WaveNet state_dict -> our param pytree (models/wavenet.py
-    init_wavenet structure). Raises KeyError/ValueError on mismatch."""
+    init_wavenet structure). Raises KeyError/ValueError on mismatch —
+    including checkpoint weights the spec has no slot for (wrong preset)."""
     sd = strip_module_prefix(sd)
+    consumed: set = set()
 
     params: Params = {
-        "first_conv": _conv1d_from(sd, "first_conv"),
+        "first_conv": _conv_from(sd, "first_conv", consumed),
         "blocks": [],
         # head: last_conv_layers = [ReLU, 1x1, ReLU, 1x1]
         # (reference: wavenet.py:136-141)
-        "last_conv1": _conv1d_from(sd, "last_conv_layers.1"),
-        "last_conv2": _conv1d_from(sd, "last_conv_layers.3"),
+        "last_conv1": _conv_from(sd, "last_conv_layers.1", consumed),
+        "last_conv2": _conv_from(sd, "last_conv_layers.3", consumed),
     }
     for i in range(spec.layers):
         pre = f"conv_layers.{i}"
         bp: Params = {
-            "conv": _conv1d_from(sd, f"{pre}.conv"),
-            "out": _conv1d_from(sd, f"{pre}.conv1x1_out"),
-            "skip": _conv1d_from(sd, f"{pre}.conv1x1_skip"),
+            "conv": _conv_from(sd, f"{pre}.conv", consumed),
+            "out": _conv_from(sd, f"{pre}.conv1x1_out", consumed),
+            "skip": _conv_from(sd, f"{pre}.conv1x1_skip", consumed),
         }
         if spec.has_local_conditioning:
-            bp["cond_c"] = _conv1d_from(sd, f"{pre}.conv1x1c")
+            bp["cond_c"] = _conv_from(sd, f"{pre}.conv1x1c", consumed)
         if spec.has_global_conditioning:
-            bp["cond_g"] = _conv1d_from(sd, f"{pre}.conv1x1g")
+            bp["cond_g"] = _conv_from(sd, f"{pre}.conv1x1g", consumed)
         params["blocks"].append(bp)
 
     if spec.has_speaker_embedding:
         params["embed_speakers"] = {
             "table": _np(sd["embed_speakers.weight"]).astype(np.float32)}
+        consumed.add("embed_speakers.weight")
 
     if spec.upsample_conditional_features:
         if spec.upsample_net == "ConvInUpsampleNetwork":
             params["upsample_net"] = {
-                "conv_in": _conv1d_from(sd, "upsample_net.conv_in"),
-                "upsample": _upsample_convs_from(sd, "upsample_net.upsample"),
+                "conv_in": _conv_from(sd, "upsample_net.conv_in", consumed),
+                "upsample": _upsample_convs_from(
+                    sd, "upsample_net.upsample", consumed),
             }
         else:
-            params["upsample_net"] = _upsample_convs_from(sd, "upsample_net")
+            params["upsample_net"] = _upsample_convs_from(
+                sd, "upsample_net", consumed)
 
-    _check_consumed(sd, spec)
+    leftover = sorted(set(sd) - consumed)
+    if leftover:
+        raise ValueError(
+            f"checkpoint has {len(leftover)} weights the spec has no slot "
+            f"for (wrong preset? e.g. conditioning/upsample disabled): "
+            f"{leftover[:8]}{'...' if len(leftover) > 8 else ''}")
+
     validate_params(params, spec)
     return params
-
-
-def _check_consumed(sd: Dict[str, Any], spec: WaveNetSpec) -> None:
-    """Warn-by-raise on model keys the mapping did not consume — catches
-    spec/checkpoint disagreements (e.g. wrong preset for the checkpoint)."""
-    known_roots = ("first_conv", "conv_layers", "last_conv_layers",
-                   "embed_speakers", "upsample_net")
-    extra = [k for k in sd if k.split(".")[0] not in known_roots]
-    if extra:
-        raise ValueError(f"unrecognized state-dict keys: {extra[:8]}"
-                         f"{'...' if len(extra) > 8 else ''}")
-    n_layers = {int(k.split(".")[1]) for k in sd
-                if k.startswith("conv_layers.")}
-    if n_layers and (max(n_layers) + 1) != spec.layers:
-        raise ValueError(
-            f"checkpoint has {max(n_layers) + 1} conv layers but the spec "
-            f"says layers={spec.layers} — wrong preset for this checkpoint?")
 
 
 def validate_params(params: Params, spec: WaveNetSpec) -> None:

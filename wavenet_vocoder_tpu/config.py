@@ -18,6 +18,7 @@ from __future__ import annotations
 import ast
 import dataclasses
 import json
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
@@ -297,6 +298,19 @@ def load_config(preset: Optional[str] = None, overrides: str = "",
             "(reference: train.py:1058)")
     _check_input_type(cfg.input_type)
     return cfg
+
+
+def discover_preset(checkpoint_path: str,
+                    preset: Optional[str] = None) -> Optional[str]:
+    """When no preset is given, look for ``hparams.json`` next to the
+    checkpoint — the reference dumps its effective config there at train time
+    and auto-reloads it at eval (reference: train.py:1065-1067,
+    evaluate.py:120-124)."""
+    if preset is not None:
+        return preset
+    cand = os.path.join(os.path.dirname(os.path.abspath(checkpoint_path)),
+                        "hparams.json")
+    return cand if os.path.exists(cand) else None
 
 
 def config_debug_string(cfg: Config) -> str:

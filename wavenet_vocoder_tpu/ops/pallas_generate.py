@@ -539,6 +539,12 @@ class PallasGenerator:
                  unroll: int = 1):
         if split_taps:
             variant = "split_taps"
+        if unroll not in (1, chunk):
+            # Mosaic lowers fori_loop only rolled or FULLY unrolled; fail
+            # here instead of after a multi-minute TPU compile. (Full unroll
+            # is compile-time-expensive — see CLAUDE.md perf notes.)
+            raise ValueError(
+                f"unroll must be 1 or chunk ({chunk}), got {unroll}")
         self.spec = spec
         self.chunk = chunk
         self.vmem_limit_bytes = vmem_limit_bytes
