@@ -209,3 +209,20 @@ def test_unrolled_loop_matches_scan():
         p, spec, jax.random.PRNGKey(2), c=c, weight_dtype=jnp.float32,
         chunk=16, deterministic=True, interpret=True, unroll=16))
     np.testing.assert_array_equal(rolled, unrolled)
+
+
+def test_vmem_overflow_guard():
+    """A long-receptive-field config at large batch must fail with a clear
+    remedy, not an opaque Mosaic allocation error (30L/3S -> 6138 ring rows;
+    reference receptive-field table: tests/test_misc.py:9)."""
+    import jax.numpy as jnp
+    from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
+    spec = WaveNetSpec(out_channels=30, layers=30, stacks=3,
+                       residual_channels=128, gate_channels=256,
+                       skip_out_channels=128, cin_channels=4,
+                       scalar_input=True)
+    p = init_wavenet(jax.random.PRNGKey(0), spec)
+    gen = PallasGenerator(p, spec, weight_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="VMEM"):
+        gen(jax.random.PRNGKey(1), T=256,
+            c=jnp.zeros((256, 256, 4), jnp.float32))

@@ -626,8 +626,17 @@ class PallasGenerator:
         # (v5e: 128MiB); auto-raise it when the footprint estimate says the
         # batch needs more, so B=64..256 works out of the box.
         vmem_limit = self.vmem_limit_bytes
+        est = self.estimate_vmem_bytes(B)
         if vmem_limit is None:
-            est = self.estimate_vmem_bytes(B)
+            if est > 120 * 2 ** 20 and not interpret:
+                # e.g. 30-layer/3-stack configs (6138 ring rows) at large B:
+                # the resident state physically cannot fit — fail with the
+                # remedy instead of an opaque Mosaic allocation error.
+                raise ValueError(
+                    f"fused-kernel state ≈{est / 2**20:.0f} MiB exceeds "
+                    f"physical VMEM for batch={B}, chunk={self.chunk} "
+                    f"(receptive field {spec.receptive_field}); lower the "
+                    "batch/chunk or use the scan engine for this config")
             if est > 24 * 2 ** 20:
                 vmem_limit = min(120 * 2 ** 20, int(est * 1.5) + 8 * 2 ** 20)
 
