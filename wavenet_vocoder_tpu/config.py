@@ -91,6 +91,9 @@ class Config:
     use_speaker_embedding: bool = True
 
     # -- Data loader (reference: hparams.py:85-86) --
+    # pin_memory is accepted so reference presets load unchanged, but it is a
+    # documented NO-OP here: there is no CUDA pinned-host-memory concept on
+    # this path — host->device transfers go through jax.device_put.
     pin_memory: bool = True
     num_workers: int = 2
 

@@ -37,6 +37,14 @@ from wavenet_vocoder_tpu.dsp import audio
 from wavenet_vocoder_tpu.ops.mulaw import mulaw_quantize
 
 
+def effective_max_time_steps(cfg: Config) -> Optional[int]:
+    """Crop size in samples: max_time_sec wins over max_time_steps
+    (reference: train.py:437-441)."""
+    if cfg.max_time_sec is not None:
+        return int(cfg.max_time_sec * cfg.sample_rate)
+    return cfg.max_time_steps
+
+
 @dataclass
 class Utterance:
     wave_path: str
@@ -97,6 +105,9 @@ class WaveNetDataset:
     def __init__(self, data_root: str, cfg: Config,
                  speaker_id: Optional[int] = None,
                  train: bool = True):
+        # ``train`` is kept for API stability; the min-length filter applies
+        # to every split, like the reference's shared _NPYDataSource.
+        del train
         self.cfg = cfg
         self.data_root = data_root
         manifest = os.path.join(data_root, "train.txt")
@@ -116,9 +127,14 @@ class WaveNetDataset:
         if speaker_id is not None:
             utts = [u for u in utts if u.speaker_id == speaker_id]
 
-        if train and cfg.max_time_steps is not None:
+        # The reference applies this filter in _NPYDataSource, which backs
+        # BOTH the train and dev loaders (reference: train.py:191-196) —
+        # dev utterances shorter than the crop would otherwise crash the
+        # crop-window arithmetic in collate_fn.
+        max_time_steps = effective_max_time_steps(cfg)
+        if max_time_steps is not None:
             hop = audio.get_hop_size(cfg)
-            min_samples = cfg.max_time_steps + 2 * cfg.cin_pad * hop
+            min_samples = max_time_steps + 2 * cfg.cin_pad * hop
             min_frames = (min_samples + hop - 1) // hop + 1
             kept = [u for u in utts if u.n_frames >= min_frames]
             if len(kept) < len(utts):
@@ -220,10 +236,7 @@ def collate_fn(items: List[Tuple[np.ndarray, Optional[np.ndarray], Any]],
     local = items[0][1] is not None and cfg.cin_channels > 0
     global_cond = items[0][2] is not None and cfg.gin_channels > 0
 
-    if cfg.max_time_sec is not None:
-        max_time_steps = int(cfg.max_time_sec * cfg.sample_rate)
-    else:
-        max_time_steps = cfg.max_time_steps
+    max_time_steps = effective_max_time_steps(cfg)
 
     new_items = []
     for x, c, g in items:
@@ -234,21 +247,37 @@ def collate_fn(items: List[Tuple[np.ndarray, Optional[np.ndarray], Any]],
                     max_steps = ensure_divisible(max_time_steps, hop, True)
                     if len(x) > max_steps:
                         max_frames = max_steps // hop
-                        s = rng.randint(cin_pad,
-                                        len(c) - max_frames - cin_pad + 1)
+                        hi = len(c) - max_frames - cin_pad + 1
+                        if hi > cin_pad:
+                            s = rng.randint(cin_pad, hi)
+                        else:
+                            # Utterance longer than the crop but too short to
+                            # also supply cin_pad context on both sides
+                            # (length in (max_steps, max_steps+2*cin_pad*hop);
+                            # the reference crashes on the empty randint,
+                            # train.py:454): shrink the crop so the full
+                            # utterance's edges provide the context.
+                            s = cin_pad
+                            max_frames = len(c) - 2 * cin_pad
+                            assert max_frames > 0, (len(c), cin_pad)
                         ts = s * hop
                         x = x[ts:ts + hop * max_frames]
                         c = c[s - cin_pad:s + max_frames + cin_pad, :]
                         assert_ready_for_upsampling(x, c, cin_pad, hop)
             else:
+                # Sample-resolution conditioning: the model consumes c with
+                # len(c) == len(x) (apply_wavenet asserts it), so the crop
+                # takes NO cin_pad context here. The reference crops with
+                # context then asserts len(x) == len(c) (train.py:463-468) —
+                # which can only pass when cin_pad == 0; this path makes the
+                # cin_pad > 0 combination work instead of crashing.
                 x, c = audio.adjust_time_resolution(
                     x, c, cfg.silence_threshold)
                 if max_time_steps is not None and len(x) > max_time_steps:
-                    s = rng.randint(cin_pad,
-                                    len(x) - max_time_steps - cin_pad + 1)
+                    s = rng.randint(0, len(x) - max_time_steps + 1)
                     x = x[s:s + max_time_steps]
-                    c = c[s - cin_pad:s + max_time_steps + cin_pad, :]
-                assert len(x) == len(c) - 2 * cin_pad or cin_pad == 0
+                    c = c[s:s + max_time_steps, :]
+                assert len(x) == len(c), (len(x), len(c))
         else:
             if cfg.is_mulaw_quantize:
                 x = audio.trim(x, cfg.silence_threshold)
@@ -291,7 +320,8 @@ def collate_fn(items: List[Tuple[np.ndarray, Optional[np.ndarray], Any]],
         if cfg.upsample_conditional_features:
             mel_len = pad_len // hop + 2 * cin_pad
         else:
-            mel_len = pad_len + 2 * cin_pad if cin_pad else pad_len
+            # sample-resolution conditioning: len(c) == len(x) (see crop above)
+            mel_len = pad_len
         mel_len = max(mel_len, max(len(it[1]) for it in new_items))
         D = new_items[0][1].shape[1]
         c_batch = np.zeros((len(new_items), mel_len, D), np.float32)
