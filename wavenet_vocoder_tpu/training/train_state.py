@@ -47,24 +47,68 @@ class TrainState:
     ema_params: Optional[Any] = None
 
 
+def _make_core_optimizer(name: str, schedule, p: Dict[str, Any]):
+    """Optimizer registry: torch-style names + ``optimizer_params`` keys map
+    onto optax — restoring the reference's any-optimizer-by-name generality
+    (``getattr(optim, hparams.optimizer)``, reference: train.py:1083-1085)."""
+    eps = float(p.get("eps", 1e-8))
+    weight_decay = float(p.get("weight_decay", 0.0))
+    betas = p.get("betas", (0.9, 0.999))
+    b1, b2 = float(betas[0]), float(betas[1])
+    momentum = float(p.get("momentum", 0.0))
+    key = name.lower()
+
+    if key == "adam":
+        if weight_decay > 0.0:
+            return optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                               weight_decay=weight_decay)
+        return optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+    if key == "adamw":
+        return optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay)
+    if key == "adamax":
+        return optax.adamax(schedule, b1=b1, b2=b2, eps=eps)
+    if key == "nadam":
+        return optax.nadam(schedule, b1=b1, b2=b2, eps=eps)
+    if key == "radam":
+        return optax.radam(schedule, b1=b1, b2=b2, eps=eps)
+    if key == "sgd":
+        core = optax.sgd(schedule, momentum=momentum or None,
+                         nesterov=bool(p.get("nesterov", False)))
+    elif key == "rmsprop":
+        core = optax.rmsprop(schedule, decay=float(p.get("alpha", 0.99)),
+                             eps=eps, momentum=momentum or None,
+                             centered=bool(p.get("centered", False)))
+    elif key == "adagrad":
+        core = optax.adagrad(schedule, eps=float(p.get("eps", 1e-10)))
+    elif key == "adadelta":
+        core = optax.adadelta(schedule, rho=float(p.get("rho", 0.9)), eps=eps)
+    elif key == "lamb":
+        return optax.lamb(schedule, b1=b1, b2=b2, eps=eps,
+                          weight_decay=weight_decay)
+    elif key == "adafactor":
+        return optax.adafactor(schedule)
+    else:
+        raise ValueError(
+            f"Unsupported optimizer: {name!r}; supported: Adam, AdamW, "
+            "Adamax, NAdam, RAdam, SGD, RMSprop, Adagrad, Adadelta, Lamb, "
+            "Adafactor (reference accepts any torch.optim name, "
+            "train.py:1083-1085)")
+    if weight_decay > 0.0:
+        # torch-style decoupled-from-nothing L2: decay added to the gradient
+        # before the update (torch SGD/RMSprop/... semantics)
+        core = optax.chain(optax.add_decayed_weights(weight_decay), core)
+    return core
+
+
 def make_optimizer(cfg: Config):
-    """Adam(+clip) with the config's schedule (reference: train.py:1083-1085;
-    clip: train.py:759-763)."""
+    """Optimizer by name (+clip) with the config's schedule
+    (reference: train.py:1083-1085; clip: train.py:759-763)."""
     opt_params = dict(cfg.optimizer_params)
     init_lr = float(opt_params.get("lr", 1e-3))
-    eps = float(opt_params.get("eps", 1e-8))
-    weight_decay = float(opt_params.get("weight_decay", 0.0))
-    betas = opt_params.get("betas", (0.9, 0.999))
     schedule = make_schedule(cfg.lr_schedule, init_lr,
                              dict(cfg.lr_schedule_kwargs))
-
-    if cfg.optimizer.lower() not in ("adam", "adamw"):
-        raise ValueError(f"Unsupported optimizer: {cfg.optimizer!r}")
-    if weight_decay > 0.0 or cfg.optimizer.lower() == "adamw":
-        core = optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
-                           weight_decay=weight_decay)
-    else:
-        core = optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+    core = _make_core_optimizer(cfg.optimizer, schedule, opt_params)
 
     chain = []
     if cfg.clip_thresh > 0:
