@@ -63,7 +63,7 @@ if [ "${stage}" -le 3 ] && [ "${stop_stage}" -ge 3 ]; then
   echo "stage 3: evaluation synthesis"
   for s in dev eval; do
     $PYTHON -m $PKG.evaluate "$dumpdir/norm/$s" \
-        "$expdir/checkpoint_latest_ema.pkl" "$expdir/generated/$s" \
+        "$expdir/checkpoint_latest_ema.npz" "$expdir/generated/$s" \
         --preset "$preset" --batch-size "$inference_batch_size"
   done
 fi

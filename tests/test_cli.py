@@ -82,8 +82,8 @@ def trained(workdir):
 def test_train_cli(workdir, trained):
     ckpt_dir = trained
     assert os.path.exists(os.path.join(ckpt_dir, "hparams.json"))
-    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_latest.pkl"))
-    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_latest_ema.pkl"))
+    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_latest.npz"))
+    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_latest_ema.npz"))
     # metrics written
     logdir = os.path.join(ckpt_dir, "log")
     assert any("metrics" in f or "events" in f for f in os.listdir(logdir))
@@ -92,21 +92,20 @@ def test_train_cli(workdir, trained):
 def test_train_cli_resume(workdir, trained):
     from wavenet_vocoder_tpu.cli.train import main
     ckpt_dir = trained
-    latest = os.path.join(ckpt_dir, "checkpoint_latest.pkl")
+    latest = os.path.join(ckpt_dir, "checkpoint_latest.npz")
     main(["--dump-root", str(workdir["root"] / "norm"),
           "--checkpoint-dir", ckpt_dir,
           "--preset", workdir["preset"],
           "--checkpoint", latest,
           "--max-train-steps", "5", "--no-mesh"])
-    import pickle
-    with open(latest, "rb") as f:
-        assert pickle.load(f)["global_step"] == 5
+    from wavenet_vocoder_tpu.training import checkpoint as ckpt_lib
+    assert ckpt_lib.load_params(latest).counters["global_step"] == 5
 
 
 def test_synthesis_cli(workdir, trained):
     from wavenet_vocoder_tpu.cli.synthesis import main
     from glob import glob
-    ckpt = os.path.join(trained, "checkpoint_latest_ema.pkl")
+    ckpt = os.path.join(trained, "checkpoint_latest_ema.npz")
     mel = sorted(glob(str(workdir["root"] / "norm" / "train_no_dev"
                           / "*-feats.npy")))[0]
     dst = str(workdir["root"] / "syn.wav")
@@ -125,7 +124,7 @@ def test_synthesis_cli_unconditional(workdir, trained):
     147-161)."""
     from wavenet_vocoder_tpu.cli.synthesis import main
     dst = str(workdir["root"] / "syn_uncond.wav")
-    ckpt = os.path.join(trained, "checkpoint_latest.pkl")
+    ckpt = os.path.join(trained, "checkpoint_latest.npz")
     main([ckpt, dst, "--length", "640", "--initial-value", "127",
           "--hparams", "cin_channels=-1"])
     from scipy.io import wavfile
@@ -135,7 +134,7 @@ def test_synthesis_cli_unconditional(workdir, trained):
 
 def test_evaluate_cli(workdir, trained):
     from wavenet_vocoder_tpu.cli.evaluate import main
-    ckpt = os.path.join(trained, "checkpoint_latest_ema.pkl")
+    ckpt = os.path.join(trained, "checkpoint_latest_ema.npz")
     out = str(workdir["root"] / "generated")
     main([str(workdir["root"] / "norm" / "train_no_dev"), ckpt, out,
           "--num-utterances", "2", "--batch-size", "2",
@@ -178,7 +177,7 @@ def test_evaluate_cli_mel_only(workdir, trained, tmp_path):
     for f in glob(str(workdir["root"] / "norm" / "train_no_dev"
                       / "*-feats.npy"))[:2]:
         shutil.copy(f, mel_dir)
-    ckpt = os.path.join(trained, "checkpoint_latest_ema.pkl")
+    ckpt = os.path.join(trained, "checkpoint_latest_ema.npz")
     out = str(tmp_path / "gen_mel_only")
     main([mel_dir, ckpt, out, "--batch-size", "2"])
     files = os.listdir(out)

@@ -209,16 +209,18 @@ def test_import_cli_roundtrip(tmp_path):
     out_dir = str(tmp_path / "out")
     cli_main([src, out_dir, "--preset", preset])
 
-    with open(os.path.join(out_dir, "checkpoint_step000000100.pkl"),
-              "rb") as f:
-        payload = pickle.load(f)
-    assert payload["global_step"] == 100 and payload["global_epoch"] == 2
+    from wavenet_vocoder_tpu.training import checkpoint as ckpt_lib
+    payload = ckpt_lib.load_params(
+        os.path.join(out_dir, "checkpoint_step000000100.npz"))
+    assert payload.counters["global_step"] == 100
+    assert payload.counters["global_epoch"] == 2
     direct, _ = load_torch_checkpoint(src, spec)
-    np.testing.assert_allclose(payload["params"]["first_conv"]["v"],
+    saved = dict(zip(payload.param_paths, payload.params_flat))
+    np.testing.assert_allclose(saved["['first_conv']['v']"],
                                np.asarray(direct["first_conv"]["v"]))
     # EMA twin + latest copies + hparams.json all materialize
-    for name in ("checkpoint_step000000100_ema.pkl", "checkpoint_latest.pkl",
-                 "checkpoint_latest_ema.pkl", "hparams.json"):
+    for name in ("checkpoint_step000000100_ema.npz", "checkpoint_latest.npz",
+                 "checkpoint_latest_ema.npz", "hparams.json"):
         assert os.path.exists(os.path.join(out_dir, name)), name
 
 

@@ -5,8 +5,8 @@
 
 Reads a reference ``checkpoint_step*.pth`` (reference: train.py:852-884),
 maps the torch state_dict onto our param pytree (see
-``compat/torch_import.py``), and writes ``checkpoint_step{N:09d}.pkl`` +
-``checkpoint_latest.pkl`` in OUT_DIR with the original step/epoch counters
+``compat/torch_import.py``), and writes ``checkpoint_step{N:09d}.npz`` +
+``checkpoint_latest.npz`` in OUT_DIR with the original step/epoch counters
 preserved. If the reference's averaged-weights twin
 (``..._ema.pth``) sits next to the input, it is imported as the EMA twin
 stream automatically. The effective config is dumped as ``hparams.json``

@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import pickle
 
 import jax
 import numpy as np
@@ -20,17 +19,22 @@ import numpy as np
 from wavenet_vocoder_tpu.config import Config, discover_preset, load_config
 from wavenet_vocoder_tpu.dsp import audio
 from wavenet_vocoder_tpu.synthesis import wavegen
+from wavenet_vocoder_tpu.training import checkpoint as ckpt_lib
 
 
 def load_params_and_config(checkpoint_path: str, preset, hparams_str):
     """Load checkpoint params + config, auto-discovering hparams.json next to
-    the checkpoint when no preset is given (reference: evaluate.py:116-127)."""
+    the checkpoint when no preset is given (reference: evaluate.py:116-127).
+
+    Handles both the npz checkpoint format and legacy pickle files; the
+    params pytree is rebuilt exactly as saved (so e.g. a ``cin_channels=-1``
+    override simply leaves the conditioning weights unused, like the
+    reference's strict=False-style loading)."""
     preset = discover_preset(checkpoint_path, preset)
     cfg = load_config(preset, hparams_str)
-    with open(checkpoint_path, "rb") as f:
-        payload = pickle.load(f)
-    params = payload["params"] if "params" in payload else payload
-    return params, cfg, payload.get("global_step", 0)
+    payload = ckpt_lib.load_params(checkpoint_path)
+    params = ckpt_lib.params_tree(payload)
+    return params, cfg, payload.counters["global_step"]
 
 
 def main(argv=None) -> None:
