@@ -530,13 +530,20 @@ class PallasGenerator:
     doing them per call dominates the kernel time (the kernel itself runs at
     ~9us/step for the flagship model). Construct once per model, call per
     batch — the production serving shape.
+
+    Multi-chip: pass a ``mesh`` to shard utterances over its ``data_axis`` —
+    each device runs its own fused kernel on its batch shard with ZERO
+    inter-chip communication (SURVEY.md section 5.8; the reference's batched
+    synthesis, synthesis.py:42-64, scaled only by launching more processes).
+    Weights replicate; per-device PRNG streams are decorrelated by folding
+    the axis index into the seed.
     """
 
     def __init__(self, params: Params, spec: WaveNetSpec, *,
                  weight_dtype=jnp.bfloat16, chunk: int = DEFAULT_CHUNK,
                  vmem_limit_bytes: Optional[int] = None,
                  split_taps: bool = False, variant: str = "fused",
-                 unroll: int = 1):
+                 unroll: int = 1, mesh=None, data_axis: str = "data"):
         if split_taps:
             variant = "split_taps"
         if unroll not in (1, chunk):
@@ -550,10 +557,18 @@ class PallasGenerator:
         self.vmem_limit_bytes = vmem_limit_bytes
         self.variant = variant
         self.unroll = unroll
+        self.mesh = mesh
+        self.data_axis = data_axis
         self.params = make_generation_fast(params)
-        self.packed = jax.device_put(
-            pack_weights(self.params, spec, dtype=weight_dtype,
-                         variant=variant))
+        packed = pack_weights(self.params, spec, dtype=weight_dtype,
+                              variant=variant)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            self.packed = jax.device_put(packed, repl)
+        else:
+            self.packed = jax.device_put(packed)
 
     def estimate_vmem_bytes(self, B: int) -> int:
         """Rough VMEM footprint: packed weights + ring buffers + double-
@@ -587,6 +602,19 @@ class PallasGenerator:
             B = initial_input.shape[0]
         else:
             B = 1
+
+        n_shards = 1
+        if self.mesh is not None:
+            from wavenet_vocoder_tpu.parallel.sharding import shard_batch
+            n_shards = self.mesh.shape[self.data_axis]
+            if B % n_shards != 0:
+                raise ValueError(
+                    f"batch {B} not divisible by mesh '{self.data_axis}' "
+                    f"axis ({n_shards}); pad the utterance batch")
+            if c is not None:
+                c = shard_batch(jnp.asarray(c), self.mesh, self.data_axis)
+            if g is not None:
+                g = shard_batch(jnp.asarray(g), self.mesh, self.data_axis)
 
         c_up = upsample_conditioning(params, spec, c)
         if c_up is not None:
@@ -624,9 +652,10 @@ class PallasGenerator:
 
         # Mosaic's default scoped-VMEM limit is far below the physical VMEM
         # (v5e: 128MiB); auto-raise it when the footprint estimate says the
-        # batch needs more, so B=64..256 works out of the box.
+        # batch needs more, so B=64..256 works out of the box. Under a mesh
+        # each device holds only its batch shard.
         vmem_limit = self.vmem_limit_bytes
-        est = self.estimate_vmem_bytes(B)
+        est = self.estimate_vmem_bytes(B // n_shards)
         if vmem_limit is None:
             if est > 120 * 2 ** 20 and not interpret:
                 # e.g. 30-layer/3-stack configs (6138 ring rows) at large B:
@@ -640,13 +669,49 @@ class PallasGenerator:
             if est > 24 * 2 ** 20:
                 vmem_limit = min(120 * 2 ** 20, int(est * 1.5) + 8 * 2 ** 20)
 
-        out = _pallas_generate_jit(
-            self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate, x0=x0,
-            seed=seed, chunk=chunk, log_scale_min=float(log_scale_min),
+        kernel_kwargs = dict(
+            chunk=chunk, log_scale_min=float(log_scale_min),
             deterministic=deterministic, interpret=interpret,
             vmem_limit_bytes=vmem_limit, variant=self.variant,
             unroll=self.unroll)
+        if self.mesh is None:
+            out = _pallas_generate_jit(
+                self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate,
+                x0=x0, seed=seed, **kernel_kwargs)
+        else:
+            out = self._dispatch_sharded(c_up, g_gate, x0, seed,
+                                         int(T_pad), kernel_kwargs)
         return out[:, :T]
+
+    def _dispatch_sharded(self, c_up, g_gate, x0, seed, T_pad: int,
+                          kernel_kwargs) -> jnp.ndarray:
+        """shard_map the fused kernel over the mesh's data axis: one
+        independent per-device kernel per utterance shard, no collectives.
+        Per-device PRNG streams are seed + axis_index."""
+        from jax.sharding import PartitionSpec as P
+        mesh, axis, spec = self.mesh, self.data_axis, self.spec
+        has_c = c_up is not None
+        has_g = g_gate is not None
+
+        def body(packed, x0_l, seed_l, *rest):
+            c_l = rest[0] if has_c else None
+            g_l = rest[1 if has_c else 0] if has_g else None
+            seed_l = seed_l + jax.lax.axis_index(axis).astype(seed_l.dtype)
+            return _pallas_generate_jit(
+                packed, spec, T=T_pad, c_up=c_l, g_gate=g_l,
+                x0=x0_l, seed=seed_l, **kernel_kwargs)
+
+        args = [self.packed, x0, seed]
+        in_specs = [P(), P(axis), P()]
+        if has_c:
+            args.append(c_up)
+            in_specs.append(P(axis))
+        if has_g:
+            args.append(g_gate)
+            in_specs.append(P(None, axis))
+        fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                           out_specs=P(axis), check_vma=False)
+        return fn(*args)
 
 
 def generate_pallas(params: Params, spec: WaveNetSpec, rng, *,
@@ -660,16 +725,19 @@ def generate_pallas(params: Params, spec: WaveNetSpec, rng, *,
                     deterministic: bool = False,
                     interpret: bool = False,
                     variant: str = "fused",
-                    unroll: int = 1) -> jnp.ndarray:
+                    unroll: int = 1,
+                    mesh=None, data_axis: str = "data") -> jnp.ndarray:
     """One-shot fused-kernel generation (packs weights per call — prefer
     :class:`PallasGenerator` for repeated use).
 
     Returns (B, T) f32 samples for scalar heads, or (B, T) int32 mu-law codes
     for the categorical head (the scan engine returns one-hot; codes decode
-    directly via inv_mulaw_quantize).
+    directly via inv_mulaw_quantize). With a ``mesh``, utterances shard over
+    its ``data_axis`` (one independent kernel per device).
     """
     gen = PallasGenerator(params, spec, weight_dtype=weight_dtype, chunk=chunk,
-                          variant=variant, unroll=unroll)
+                          variant=variant, unroll=unroll, mesh=mesh,
+                          data_axis=data_axis)
     return gen(rng, T=T, c=c, g=g, initial_input=initial_input,
                log_scale_min=log_scale_min, deterministic=deterministic,
                interpret=interpret)

@@ -98,6 +98,18 @@ def batch_wavegen(params: Params, cfg: Config, *,
         hop = audio.get_hop_size(cfg)
         T = (c.shape[1] - 2 * cfg.cin_pad) * hop
 
+    if engine == "pallas":
+        # the pallas engine shards (and replicates weights) itself — one
+        # independent fused kernel per device, zero collectives
+        from wavenet_vocoder_tpu.ops.pallas_generate import generate_pallas
+        if c is not None:
+            c = jnp.asarray(c, jnp.float32)
+        samples = generate_pallas(params, spec, rng, T=T, c=c, g=g,
+                                  initial_input=initial_input,
+                                  log_scale_min=cfg.log_scale_min,
+                                  mesh=mesh, **engine_kwargs)
+        return _decode(cfg, samples)
+
     if mesh is not None:
         from wavenet_vocoder_tpu.parallel import replicate, shard_batch
         params = replicate(params, mesh)
@@ -111,18 +123,6 @@ def batch_wavegen(params: Params, cfg: Config, *,
         if g is not None:
             g = jnp.asarray(g)
 
-    if engine == "pallas":
-        if mesh is not None:
-            raise ValueError(
-                "engine='pallas' is single-chip (one fused kernel per "
-                "device); for multi-chip synthesis shard utterance groups "
-                "across processes or use engine='scan' with a mesh")
-        from wavenet_vocoder_tpu.ops.pallas_generate import generate_pallas
-        samples = generate_pallas(params, spec, rng, T=T, c=c, g=g,
-                                  initial_input=initial_input,
-                                  log_scale_min=cfg.log_scale_min,
-                                  **engine_kwargs)
-        return _decode(cfg, samples)
     if engine_kwargs:
         raise TypeError(f"engine='scan' takes no engine_kwargs, "
                         f"got {sorted(engine_kwargs)}")
@@ -145,7 +145,7 @@ class Synthesizer:
 
     def __init__(self, params: Params, cfg: Config, *,
                  spec: Optional[WaveNetSpec] = None, engine: str = "pallas",
-                 weight_dtype=jnp.bfloat16, **engine_kwargs):
+                 weight_dtype=jnp.bfloat16, mesh=None, **engine_kwargs):
         from wavenet_vocoder_tpu.models.wavenet import make_generation_fast
         self.cfg = cfg
         self.spec = spec or spec_from_config(cfg)
@@ -154,6 +154,7 @@ class Synthesizer:
             from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
             self._gen = PallasGenerator(params, self.spec,
                                         weight_dtype=weight_dtype,
+                                        mesh=mesh,
                                         **engine_kwargs)
             self._params = self._gen.params
         elif engine == "scan":
