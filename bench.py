@@ -22,19 +22,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _make_synthetic_dump(root, cfg, n_utts=48, seed=0):
+    """On-disk dump dir (the *-wave.npy / *-feats.npy glob layout) so the
+    pipeline bench exercises the REAL DataLoader: npy read, length-bucket
+    sampling, hop-aligned crop, collate, prefetch."""
+    import numpy as np
+    os.makedirs(root, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    hop = cfg.hop_size
+    min_samples = cfg.max_time_steps + 2 * cfg.cin_pad * hop
+    for i in range(n_utts):
+        frames = (min_samples // hop) + 2 + rs.randint(0, 20)
+        T = frames * hop
+        wave = rs.uniform(-0.5, 0.5, T).astype(np.float32)
+        feats = rs.randn(frames, cfg.num_mels).astype(np.float32)
+        np.save(os.path.join(root, f"synth{i:04d}-wave.npy"), wave)
+        np.save(os.path.join(root, f"synth{i:04d}-feats.npy"), feats)
+    return root
+
+
 def bench_train():
     """BENCH_MODE=train: training samples/sec on the flagship MoL config
     (reference wall-clock anchor: ~1.26 steps/s x 8x10240 samples on GPU,
-    docs/content/index.md '100k steps (~22 hours)' => ~103k samples/s)."""
+    docs/content/index.md '100k steps (~22 hours)' => ~103k samples/s).
+
+    Reports model FLOPs and MFU. BENCH_PIPELINE=1 feeds the step from the
+    REAL DataLoader (threaded collate + device_put double-buffering) off an
+    on-disk synthetic dump, so host-side input cost is measured, not hidden.
+    """
     import numpy as np
     from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.models.wavenet import spec_from_config
     from wavenet_vocoder_tpu.training.train_state import (
         create_train_state, make_train_step)
+    from wavenet_vocoder_tpu.utils import flops as flops_lib
 
-    cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))))
+    pipeline = bool(int(os.environ.get("BENCH_PIPELINE", "0")))
     # flagship MoL, 10240 crop, bf16 compute. B=16 beats the config default
     # B=8 by ~1.6x on v5e-1 (fills the MXU better); B=32 needs BENCH_REMAT=1.
     B = int(os.environ.get("BENCH_BATCH", 16))
+    cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
+                 batch_size=B, num_workers=4)
     T = cfg.max_time_steps
     frames = T // cfg.hop_size + 2 * cfg.cin_pad
     rs = np.random.RandomState(0)
@@ -44,20 +72,58 @@ def bench_train():
         "c": rs.randn(B, frames, cfg.num_mels).astype(np.float32),
         "input_lengths": np.full(B, T, np.int32),
     }
-    batch = jax.device_put(batch)  # steady-state compute; IO overlaps in prod
+    batch = jax.device_put(batch)
     state = create_train_state(cfg)
     train_step, _ = make_train_step(cfg)
     key = jax.device_put(jax.random.PRNGKey(0))
     state, m = train_step(state, batch, key)  # compile
     _ = float(m["loss"])                      # forces real completion
+
+    spec = spec_from_config(cfg)
+    # exact per-step FLOPs from the compiled executable when the backend
+    # reports it; analytic fwd+bwd (3x fwd matmuls) otherwise
+    step_flops = flops_lib.xla_cost_flops(train_step, state, batch, key)
+    flops_src = "xla_cost_analysis"
+    if step_flops is None:
+        step_flops = flops_lib.train_flops_per_sample(spec) * B * T
+        flops_src = "analytic_3x_forward"
+    peak = flops_lib.device_peak_flops()
+    if os.environ.get("BENCH_PEAK_TFLOPS"):
+        peak = float(os.environ["BENCH_PEAK_TFLOPS"]) * 1e12
+
     n_iters = int(os.environ.get("BENCH_ITERS", 10))
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, m = train_step(state, batch, key)
-    loss = float(m["loss"])  # device->host sync (relay-safe)
+    if pipeline:
+        from wavenet_vocoder_tpu.data import DataLoader, WaveNetDataset
+        from wavenet_vocoder_tpu.data.prefetch import prefetch_to_device
+        import itertools, tempfile
+        root = os.environ.get("BENCH_DATA_DIR") or os.path.join(
+            tempfile.gettempdir(), f"wn_bench_dump_b{cfg.num_mels}")
+        if not os.path.exists(os.path.join(root, "synth0000-wave.npy")):
+            _make_synthetic_dump(root, cfg)
+        ds = WaveNetDataset(root, cfg)
+        loader = DataLoader(ds, cfg, batch_size=B, num_workers=4)
+
+        def batches():
+            # cycle epochs so n_iters isn't bounded by the synthetic corpus
+            while True:
+                yield from loader
+
+        it = prefetch_to_device(batches(), depth=2)
+        state, m = train_step(state, next(it), key)  # warm pipeline path
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, m = train_step(state, next(it), key)
+        loss = float(m["loss"])
+    else:
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, m = train_step(state, batch, key)
+        loss = float(m["loss"])  # device->host sync (relay-safe)
     dt = (time.perf_counter() - t0) / n_iters
     value = B * T / dt
     baseline = 1.26 * 8 * 10240  # reference ~1.26 steps/s at 8x10240
+    achieved = step_flops / dt
     print(json.dumps({
         "metric": "training_samples_per_sec_per_chip",
         "value": round(value, 1),
@@ -65,6 +131,13 @@ def bench_train():
         "vs_baseline": round(value / baseline, 4),
         "detail": {"batch": B, "crop": T, "step_s": round(dt, 4),
                    "steps_per_s": round(1.0 / dt, 2), "loss": round(loss, 3),
+                   "pipeline": "real_dataloader" if pipeline
+                   else "constant_batch",
+                   "step_tflops": round(step_flops / 1e12, 3),
+                   "flops_source": flops_src,
+                   "achieved_tflops_per_s": round(achieved / 1e12, 2),
+                   "mfu": (round(achieved / peak, 4) if peak else None),
+                   "peak_tflops": (round(peak / 1e12) if peak else None),
                    "device": str(jax.devices()[0])},
     }))
 

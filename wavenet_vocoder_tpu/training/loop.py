@@ -16,6 +16,7 @@ import numpy as np
 
 from wavenet_vocoder_tpu.config import Config
 from wavenet_vocoder_tpu.data import DataLoader, WaveNetDataset
+from wavenet_vocoder_tpu.data.prefetch import prefetch_to_device
 from wavenet_vocoder_tpu.dsp import audio
 from wavenet_vocoder_tpu.models.wavenet import spec_from_config
 from wavenet_vocoder_tpu.parallel import make_mesh, shard_batch, shard_state
@@ -214,12 +215,14 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                 # dev-phase generation once per epoch every
                 # test_eval_epoch_interval epochs (reference: train.py:816-821)
                 test_evaluated = False
-                for batch in loader:
+                # overlap host collate + H2D with device compute: the next
+                # batch is device_put while the current step executes
+                put = ((lambda b: shard_batch(b, mesh)) if mesh is not None
+                       else jax.device_put)
+                for batch in prefetch_to_device(loader, put=put):
                     if not _checked:
-                        sanity_check(spec, batch)
+                        sanity_check(spec, jax.device_get(batch))
                         _checked = True
-                    if mesh is not None:
-                        batch = shard_batch(batch, mesh)
                     if train:
                         t0 = time.time()
                         # per-step randomness is derived from state.step
