@@ -650,37 +650,76 @@ class PallasGenerator:
         seed = jnp.asarray([jax.random.randint(rng, (), 0, 2 ** 31 - 1)],
                            dtype=jnp.int32)
 
-        # Mosaic's default scoped-VMEM limit is far below the physical VMEM
-        # (v5e: 128MiB); auto-raise it when the footprint estimate says the
-        # batch needs more, so B=64..256 works out of the box. Under a mesh
-        # each device holds only its batch shard.
+        # VMEM budgeting. Mosaic's default scoped-VMEM limit is far below the
+        # physical VMEM (v5e: 128MiB); auto-raise it when the footprint
+        # estimate says the batch needs more, so B=64..256 works out of the
+        # box. When even that is not enough (long/wide configs: the 30L/3S
+        # published model has a 6139-sample receptive field = 12x the
+        # flagship's ring rows; 512-channel configs carry 4x the weights),
+        # AUTO-SPLIT the batch into sub-batches whose resident state fits and
+        # run the fused kernel per group — utterances are independent AR
+        # chains, so this is exact. Under a mesh each device holds only its
+        # batch shard; splitting applies to the per-device batch.
+        budget = (self.vmem_limit_bytes if self.vmem_limit_bytes is not None
+                  else 120 * 2 ** 20)
+        B_local = B // n_shards
+        sub = B_local
+        while sub > 8 and self.estimate_vmem_bytes(sub) > budget:
+            sub = max(8, -(-sub // 2))
+            sub += (-sub) % 8  # keep sublane-friendly multiples of 8
+        est = self.estimate_vmem_bytes(sub)
+        if est > budget and not interpret:
+            raise ValueError(
+                f"fused-kernel state ≈{est / 2**20:.0f} MiB exceeds physical "
+                f"VMEM even at batch {sub} (chunk={self.chunk}, receptive "
+                f"field {spec.receptive_field}); lower the chunk or use the "
+                "scan engine for this config")
         vmem_limit = self.vmem_limit_bytes
-        est = self.estimate_vmem_bytes(B // n_shards)
-        if vmem_limit is None:
-            if est > 120 * 2 ** 20 and not interpret:
-                # e.g. 30-layer/3-stack configs (6138 ring rows) at large B:
-                # the resident state physically cannot fit — fail with the
-                # remedy instead of an opaque Mosaic allocation error.
-                raise ValueError(
-                    f"fused-kernel state ≈{est / 2**20:.0f} MiB exceeds "
-                    f"physical VMEM for batch={B}, chunk={self.chunk} "
-                    f"(receptive field {spec.receptive_field}); lower the "
-                    "batch/chunk or use the scan engine for this config")
-            if est > 24 * 2 ** 20:
-                vmem_limit = min(120 * 2 ** 20, int(est * 1.5) + 8 * 2 ** 20)
+        if vmem_limit is None and est > 24 * 2 ** 20:
+            vmem_limit = min(120 * 2 ** 20, int(est * 1.5) + 8 * 2 ** 20)
 
         kernel_kwargs = dict(
             chunk=chunk, log_scale_min=float(log_scale_min),
             deterministic=deterministic, interpret=interpret,
             vmem_limit_bytes=vmem_limit, variant=self.variant,
             unroll=self.unroll)
-        if self.mesh is None:
-            out = _pallas_generate_jit(
-                self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate,
-                x0=x0, seed=seed, **kernel_kwargs)
-        else:
-            out = self._dispatch_sharded(c_up, g_gate, x0, seed,
-                                         int(T_pad), kernel_kwargs)
+
+        def run(c_up_g, g_gate_g, x0_g, seed_g):
+            if self.mesh is None:
+                return _pallas_generate_jit(
+                    self.packed, spec, T=int(T_pad), c_up=c_up_g,
+                    g_gate=g_gate_g, x0=x0_g, seed=seed_g, **kernel_kwargs)
+            return self._dispatch_sharded(c_up_g, g_gate_g, x0_g, seed_g,
+                                          int(T_pad), kernel_kwargs)
+
+        if sub == B_local:
+            return run(c_up, g_gate, x0, seed)[:, :T]
+
+        # batch split: pad to a group multiple (replicated rows are dropped),
+        # one kernel compile reused across all groups
+        group = sub * n_shards
+        n_groups = -(-B // group)
+        pad_rows = n_groups * group - B
+
+        def pad_b(a, axis):
+            if a is None or pad_rows == 0:
+                return a
+            reps = jnp.repeat(jnp.take(a, jnp.asarray([0]), axis=axis),
+                              pad_rows, axis=axis)
+            return jnp.concatenate([a, reps], axis=axis)
+
+        x0 = pad_b(x0, 0)
+        c_up = pad_b(c_up, 0)
+        g_gate = pad_b(g_gate, 1)
+        outs = []
+        for gi in range(n_groups):
+            s0 = gi * group
+            outs.append(run(
+                None if c_up is None else c_up[s0:s0 + group],
+                None if g_gate is None else g_gate[:, s0:s0 + group],
+                x0[s0:s0 + group],
+                seed + gi * 7919))  # distinct PRNG stream per group
+        out = jnp.concatenate(outs, axis=0)[:B]
         return out[:, :T]
 
     def _dispatch_sharded(self, c_up, g_gate, x0, seed, T_pad: int,
