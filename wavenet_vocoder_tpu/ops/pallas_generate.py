@@ -171,7 +171,8 @@ def _uniform_from_bits(bits, lo=1e-5):
 
 def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                  has_gate: bool, log_scale_min: float, deterministic: bool,
-                 variant: str = "fused", unroll: int = 1):
+                 variant: str = "fused", unroll: int = 1,
+                 carry: bool = False):
     """Build the kernel body (closure over static structure).
 
     variant:
@@ -209,38 +210,54 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
     chain = variant == "chain"
     split_taps = variant == "split_taps"
 
-    def kernel(seed_ref,                      # SMEM (1,)
-               x0_ref,                        # (B, C_in)
+    def kernel(seed_ref,                      # SMEM (1,) or (2,): [seed, t0]
+               x0_ref,                        # (B, C_in) initial/carried input
                cond_ref,                      # (chunk, B, cin) or (1, 1, 1)
                g_gate_ref,                    # (L, B, G) or (1, 1, 1) dummy
                w_first_ref, b_first_ref,
                *rest):
+        if carry:
+            # streaming/resume: ring + current-input come in as the buf0
+            # input (x0_ref) and HBM-backed outputs that persist in VMEM
+            # across grid steps (constant-index revisited blocks); the final
+            # state flushes to HBM for the next segment.
+            rest, tail = rest[:-4], rest[-4:]
+            (buf0_ref, out_ref, buf_ref, x_cur_ref) = tail
         if chain:
             (w_old_ref, b_pre_ref,            # (L, (k-1)R[+cin], G), (L, G)
              w_new0_ref,                      # (R, G)
              w_hterm_ref, w_chain_ref,        # (L-1, R, G), (L-1, G2, G)
              w_og_ref, b_og_ref,
              w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
-             out_ref, buf_ref, x_cur_ref) = rest
+             *state_refs) = rest
         else:
             (w_in_ref, b_in_ref,              # (L, k*R[+cin], G), (L, G)
              w_og_ref, b_og_ref,              # (L, G2, R+S), (L, R+S)
              w_h1_ref, b_h1_ref, w_h2_ref, b_h2_ref,
-             out_ref,                         # (chunk, B) f32 or int32
+             *state_refs) = rest
+        if not carry:
+            (out_ref,                         # (chunk, B) f32 or int32
              buf_ref,                         # scratch (total_rows, B, R)
-             x_cur_ref) = rest                # scratch (B, C_in) f32
+             x_cur_ref) = state_refs          # scratch (B, C_in) f32
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _init():
-            buf_ref[...] = jnp.zeros_like(buf_ref)
-            x_cur_ref[...] = x0_ref[...].astype(jnp.float32)
+            if carry:
+                buf_ref[...] = buf0_ref[...]
+                x_cur_ref[...] = x0_ref[...].astype(jnp.float32)
+            else:
+                buf_ref[...] = jnp.zeros_like(buf_ref)
+                x_cur_ref[...] = x0_ref[...].astype(jnp.float32)
 
+        t0 = seed_ref[1] if carry else 0
         if not deterministic:
-            pltpu.prng_seed(seed_ref[0] + i)
+            # absolute chunk index keys the stream: a resumed segment
+            # continues the exact offline sampling sequence
+            pltpu.prng_seed(seed_ref[0] + t0 // chunk + i)
 
         def step(j, _):
-            t = i * chunk + j
+            t = t0 + i * chunk + j
             x_in = x_cur_ref[...]                       # (B, C_in) f32
 
             h = jnp.dot(x_in.astype(w_first_ref.dtype), w_first_ref[...],
@@ -427,7 +444,8 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
 
 @partial(jax.jit, static_argnames=("spec", "T", "chunk", "log_scale_min",
                                    "deterministic", "interpret",
-                                   "vmem_limit_bytes", "variant", "unroll"))
+                                   "vmem_limit_bytes", "variant", "unroll",
+                                   "carry"))
 def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          spec: WaveNetSpec, *, T: int,
                          c_up: Optional[jnp.ndarray],
@@ -440,8 +458,13 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
                          interpret: bool = False,
                          vmem_limit_bytes: Optional[int] = None,
                          variant: str = "fused",
-                         unroll: int = 1
-                         ) -> jnp.ndarray:
+                         unroll: int = 1,
+                         carry: bool = False,
+                         buf0: Optional[jnp.ndarray] = None,
+                         ):
+    """Returns (B, T) samples, or ((B, T), buf, x_cur) when ``carry`` —
+    the ring/current-input state to resume the NEXT segment from (seed is
+    then (2,): [base_seed, absolute_start_step])."""
     B = x0.shape[0]
     has_cond = c_up is not None
     has_gate = g_gate is not None
@@ -451,7 +474,7 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
     kernel, total_rows = _make_kernel(
         spec, B=B, chunk=chunk, has_cond=has_cond, has_gate=has_gate,
         log_scale_min=log_scale_min, deterministic=deterministic,
-        variant=variant, unroll=unroll)
+        variant=variant, unroll=unroll, carry=carry)
 
     wref = packed["w_old"] if variant == "chain" else packed["w_in"]
     if has_cond:
@@ -482,26 +505,57 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
     else:
         layer_weights = [packed["w_in"], packed["b_in"]]
 
+    in_specs = [
+        full(),                    # x0 (initial / carried current input)
+        cond_spec,                 # cond chunk
+        full(),                    # g_gate
+        full(), full(),            # w_first, b_first
+        *[full() for _ in layer_weights],  # per-variant layer weights
+        full(), full(),            # w_og, b_og
+        full(), full(), full(), full(),  # head
+    ]
+    operands = [x0, cond_tm, g_gate,
+                packed["w_first"], packed["b_first"],
+                *layer_weights,
+                packed["w_og"], packed["b_og"],
+                packed["w_h1"], packed["b_h1"],
+                packed["w_h2"], packed["b_h2"]]
+    samples_spec = pl.BlockSpec((chunk, B), lambda i, seed: (i, 0),
+                                memory_space=pltpu.VMEM)
+    buf_shape = (total_rows, B, spec.residual_channels)
+    if carry:
+        if buf0 is None:
+            buf0 = jnp.zeros(buf_shape, wref.dtype)
+        in_specs.append(full())
+        operands.append(buf0.astype(wref.dtype))
+        # state rides as constant-index output blocks: resident in VMEM for
+        # the whole generation, flushed to HBM once at the end
+        out_specs = (samples_spec,
+                     pl.BlockSpec(buf_shape, lambda i, seed: (0, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((B, spec.in_channels),
+                                  lambda i, seed: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (jax.ShapeDtypeStruct((T, B), out_dtype),
+                     jax.ShapeDtypeStruct(buf_shape, wref.dtype),
+                     jax.ShapeDtypeStruct((B, spec.in_channels), jnp.float32))
+        scratch_shapes = []
+    else:
+        out_specs = samples_spec
+        out_shape = jax.ShapeDtypeStruct((T, B), out_dtype)
+        scratch_shapes = [
+            # ring buffers in the weight dtype (bf16 for production: taps are
+            # matmul inputs of that dtype; halves buffer VMEM, enabling B=32)
+            pltpu.VMEM(buf_shape, wref.dtype),
+            pltpu.VMEM((B, spec.in_channels), jnp.float32),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
-        in_specs=[
-            full(),                    # x0
-            cond_spec,                 # cond chunk
-            full(),                    # g_gate
-            full(), full(),            # w_first, b_first
-            *[full() for _ in layer_weights],  # per-variant layer weights
-            full(), full(),            # w_og, b_og
-            full(), full(), full(), full(),  # head
-        ],
-        out_specs=pl.BlockSpec((chunk, B), lambda i, seed: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            # ring buffers in the weight dtype (bf16 for production: taps are
-            # matmul inputs of that dtype; halves buffer VMEM, enabling B=32)
-            pltpu.VMEM((total_rows, B, spec.residual_channels), wref.dtype),
-            pltpu.VMEM((B, spec.in_channels), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
 
     compiler_params = None
@@ -512,14 +566,13 @@ def _pallas_generate_jit(packed: Dict[str, jnp.ndarray],
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, B), out_dtype),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=compiler_params,
-    )(seed, x0, cond_tm, g_gate,
-      packed["w_first"], packed["b_first"],
-      *layer_weights,
-      packed["w_og"], packed["b_og"],
-      packed["w_h1"], packed["b_h1"], packed["w_h2"], packed["b_h2"])
+    )(seed, *operands)
+    if carry:
+        samples, buf, x_cur = out
+        return jnp.swapaxes(samples, 0, 1), buf, x_cur
     return jnp.swapaxes(out, 0, 1)  # (B, T)
 
 
@@ -592,11 +645,23 @@ class PallasGenerator:
                  initial_input: Optional[jnp.ndarray] = None,
                  log_scale_min: float = -50.0,
                  deterministic: bool = False,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False,
+                 state: Optional[Dict[str, Any]] = None,
+                 return_state: bool = False):
+        """Generate (B, T) samples. ``state``/``return_state`` carry the
+        decoder's ring-buffer state across calls (streaming segments):
+        pass ``state=None, return_state=True`` for the first segment, feed
+        each returned state into the next call. Segment boundaries must be
+        multiples of ``chunk``; the sampled sequence is then bit-identical
+        to one offline call with the same rng (the PRNG is keyed by the
+        absolute chunk index)."""
         spec, chunk = self.spec, self.chunk
         params = self.params
+        carry = return_state or state is not None
 
-        if c is not None:
+        if state is not None:
+            B = state["x_cur"].shape[0]
+        elif c is not None:
             B = c.shape[0]
         elif initial_input is not None:
             B = initial_input.shape[0]
@@ -638,7 +703,9 @@ class PallasGenerator:
         else:
             g_gate = None
 
-        if initial_input is None:
+        if state is not None:
+            x0 = state["x_cur"]
+        elif initial_input is None:
             if spec.scalar_input:
                 x0 = jnp.zeros((B, 1), jnp.float32)
             else:
@@ -647,8 +714,22 @@ class PallasGenerator:
         else:
             x0 = initial_input.reshape(B, -1).astype(jnp.float32)
 
-        seed = jnp.asarray([jax.random.randint(rng, (), 0, 2 ** 31 - 1)],
-                           dtype=jnp.int32)
+        base_seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1).astype(
+            jnp.int32)
+        if carry:
+            if self.mesh is not None:
+                raise ValueError("streaming state carry is single-device; "
+                                 "run one stream group per device instead")
+            t_abs = int(state["t"]) if state is not None else 0
+            if T % chunk != 0 or t_abs % chunk != 0:
+                raise ValueError(
+                    f"streaming segments must be multiples of the kernel "
+                    f"chunk ({chunk}); got T={T} at t={t_abs}. Pick a chunk "
+                    "dividing the emit block (e.g. chunk=hop_size)")
+            seed = jnp.stack([base_seed,
+                              jnp.asarray(t_abs, jnp.int32)])
+        else:
+            seed = base_seed[None]
 
         # VMEM budgeting. Mosaic's default scoped-VMEM limit is far below the
         # physical VMEM (v5e: 128MiB); auto-raise it when the footprint
@@ -683,6 +764,19 @@ class PallasGenerator:
             deterministic=deterministic, interpret=interpret,
             vmem_limit_bytes=vmem_limit, variant=self.variant,
             unroll=self.unroll)
+
+        if carry:
+            # streaming segment: carry the ring state in and out (split is
+            # not applied — streams are small-batch latency workloads)
+            samples, buf, x_cur = _pallas_generate_jit(
+                self.packed, spec, T=int(T_pad), c_up=c_up, g_gate=g_gate,
+                x0=x0, seed=seed, carry=True,
+                buf0=None if state is None else state["buf"],
+                **kernel_kwargs)
+            if not return_state:
+                return samples[:, :T]
+            new_state = {"buf": buf, "x_cur": x_cur, "t": t_abs + int(T)}
+            return samples[:, :T], new_state
 
         def run(c_up_g, g_gate_g, x0_g, seed_g):
             if self.mesh is None:

@@ -72,13 +72,20 @@ class StreamingSynthesizer:
                  spec: Optional[WaveNetSpec] = None,
                  rng=None, batch: int = 1,
                  g: Optional[np.ndarray] = None,
-                 dtype=None):
+                 dtype=None, engine: str = "scan",
+                 chunk: Optional[int] = None,
+                 weight_dtype=jnp.bfloat16,
+                 deterministic: bool = False,
+                 interpret: bool = False):
         self.cfg = cfg
         self.spec = spec or spec_from_config(cfg)
         self.params = jax.device_put(make_generation_fast(params))
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.batch = batch
         self.dtype = dtype
+        self.engine = engine
+        self._deterministic = deterministic
+        self._interpret = interpret
         self._g = None if g is None else jnp.asarray(g)
         self.hop = audio.get_hop_size(cfg)
         s = self.spec
@@ -90,6 +97,23 @@ class StreamingSynthesizer:
         else:
             self._extra = 0
             self.lookahead_frames = 0
+        if engine == "pallas":
+            # fused-kernel streaming: the kernel's ring state carries across
+            # segments (ops/pallas_generate.py `carry`); emitted blocks are
+            # hop multiples, so a hop-divisor kernel chunk always divides
+            import dataclasses
+            from wavenet_vocoder_tpu.ops.pallas_generate import (
+                PallasGenerator)
+            spec_flat = self.spec
+            if spec_flat.upsample_conditional_features:
+                spec_flat = dataclasses.replace(
+                    spec_flat, upsample_conditional_features=False,
+                    cin_pad=0)
+            self._pgen = PallasGenerator(
+                params, spec_flat, weight_dtype=weight_dtype,
+                chunk=chunk or self.hop)
+        elif engine != "scan":
+            raise ValueError(engine)
         self.reset()
 
     def reset(self) -> None:
@@ -175,6 +199,16 @@ class StreamingSynthesizer:
             return np.zeros((self.batch, 0), np.float32)
         c_up = self._conditioning(a, b)
         T = (b - a) * self.hop
+        if self.engine == "pallas":
+            # fused kernel with ring-state carry; the SAME self.rng across
+            # segments continues the offline sampling sequence exactly
+            samples, self._state = self._pgen(
+                self.rng, T=T, c=c_up, g=self._g, state=self._state,
+                return_state=True, log_scale_min=self.cfg.log_scale_min,
+                deterministic=self._deterministic,
+                interpret=self._interpret)
+            self._emitted = b
+            return self._decode(np.asarray(samples))
         # feed upsampled conditioning directly: spec with the upsample net
         # disabled, params already applied it in _conditioning
         spec_flat = self.spec
