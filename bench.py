@@ -58,9 +58,14 @@ def bench_train():
     from wavenet_vocoder_tpu.utils import flops as flops_lib
 
     pipeline = bool(int(os.environ.get("BENCH_PIPELINE", "0")))
-    # flagship MoL, 10240 crop, bf16 compute. B=16 beats the config default
-    # B=8 by ~1.6x on v5e-1 (fills the MXU better); B=32 needs BENCH_REMAT=1.
-    B = int(os.environ.get("BENCH_BATCH", 16))
+    # flagship MoL, 10240 crop, bf16 compute. Measured sweep on v5e-1
+    # (samples/s, no remat unless noted): B=8: 1.15M, 16: 1.89M, 32: 2.04M
+    # (peak; hbm_bound_frac 1.02 — AT the HBM roofline), 64: 1.77M,
+    # 128: OOM; with remat: 32: 1.53M, 64: 1.51M (recompute traffic loses).
+    # The step is memory-bound: 133.7GB accessed/step at B=32 = 0.163s floor
+    # at 819GB/s vs 0.160s measured — MFU 22.8% is speed-of-light for this
+    # dataflow; more MFU requires fewer bytes, not better scheduling.
+    B = int(os.environ.get("BENCH_BATCH", 32))
     cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
                  batch_size=B, num_workers=4)
     T = cfg.max_time_steps
@@ -82,12 +87,15 @@ def bench_train():
     spec = spec_from_config(cfg)
     # exact per-step FLOPs from the compiled executable when the backend
     # reports it; analytic fwd+bwd (3x fwd matmuls) otherwise
-    step_flops = flops_lib.xla_cost_flops(train_step, state, batch, key)
+    ca = flops_lib.xla_cost_analysis(train_step, state, batch, key) or {}
+    step_flops = float(ca.get("flops", 0)) or None
+    step_bytes = float(ca.get("bytes accessed", 0)) or None
     flops_src = "xla_cost_analysis"
     if step_flops is None:
         step_flops = flops_lib.train_flops_per_sample(spec) * B * T
         flops_src = "analytic_3x_forward"
     peak = flops_lib.device_peak_flops()
+    hbm_bw = flops_lib.device_peak_hbm_bw()
     if os.environ.get("BENCH_PEAK_TFLOPS"):
         peak = float(os.environ["BENCH_PEAK_TFLOPS"]) * 1e12
 
@@ -138,7 +146,81 @@ def bench_train():
                    "achieved_tflops_per_s": round(achieved / 1e12, 2),
                    "mfu": (round(achieved / peak, 4) if peak else None),
                    "peak_tflops": (round(peak / 1e12) if peak else None),
+                   # roofline: if the HBM-bandwidth floor accounts for most
+                   # of the step time, the step is memory-bound, not MXU-bound
+                   "step_gbytes": (round(step_bytes / 1e9, 2)
+                                   if step_bytes else None),
+                   "hbm_floor_s": (round(step_bytes / hbm_bw, 4)
+                                   if step_bytes and hbm_bw else None),
+                   "hbm_bound_frac": (round(step_bytes / hbm_bw / dt, 3)
+                                      if step_bytes and hbm_bw else None),
                    "device": str(jax.devices()[0])},
+    }))
+
+
+def bench_latency():
+    """BENCH_MODE=latency: small-batch streaming serving numbers on the
+    fused pallas engine — first-audio latency and steady-state per-stream
+    realtime factor (the throughput bench's B=128..256 sweet spot trades
+    per-stream speed for aggregate throughput; this is the other end).
+
+    Knobs: BENCH_BATCH (streams, default 1), BENCH_SEG_FRAMES (mel frames
+    fed per call, default 4 = 1024 samples), BENCH_SECONDS.
+    """
+    import numpy as np
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.models.wavenet import (
+        init_wavenet, spec_from_config)
+    from wavenet_vocoder_tpu.streaming import StreamingSynthesizer
+
+    cfg = Config()
+    spec = spec_from_config(cfg)
+    params = init_wavenet(jax.random.PRNGKey(0), spec)
+    B = int(os.environ.get("BENCH_BATCH", 1))
+    seg_frames = int(os.environ.get("BENCH_SEG_FRAMES", 4))
+    seconds = float(os.environ.get("BENCH_SECONDS", 2.0))
+    hop = cfg.hop_size
+    frames = int(seconds * cfg.sample_rate) // hop
+    rs = np.random.RandomState(0)
+    mel = rs.randn(B, frames, cfg.num_mels).astype(np.float32)
+
+    def run_stream(measure_first=False):
+        stream = StreamingSynthesizer(params, cfg, rng=jax.random.PRNGKey(1),
+                                      batch=B, engine="pallas")
+        t0 = time.perf_counter()
+        t_first = None
+        n = 0
+        for i in range(0, frames, seg_frames):
+            out = stream.feed(mel[:, i:i + seg_frames])
+            n += out.shape[1]
+            if t_first is None and n > 0:
+                t_first = time.perf_counter() - t0
+        n += stream.flush().shape[1]
+        return t_first, time.perf_counter() - t0, n
+
+    run_stream()  # compile both segment shapes (feed + flush)
+    t_first, wall, n = run_stream()
+    audio_s = n / cfg.sample_rate
+    per_stream_rt = audio_s / wall
+    print(json.dumps({
+        "metric": "streaming_latency_per_stream_realtime_x",
+        "value": round(per_stream_rt, 3),
+        "unit": "x realtime per stream",
+        "vs_baseline": round(per_stream_rt / 1.0, 3),
+        "detail": {
+            "streams": B,
+            "first_audio_latency_ms": round(t_first * 1e3, 1),
+            "algorithmic_latency_ms": round(
+                (cfg.cin_pad + len(cfg.upsample_params["upsample_scales"]))
+                * hop / cfg.sample_rate * 1e3, 1),
+            "segment_samples": seg_frames * hop,
+            "total_audio_s": round(audio_s, 2),
+            "wall_s": round(wall, 3),
+            "aggregate_audio_sec_per_s": round(B * per_stream_rt, 2),
+            "model": "24L/4S MoL 128/256/128",
+            "engine": "pallas+carry",
+            "device": str(jax.devices()[0]),
+        },
     }))
 
 
@@ -152,6 +234,8 @@ def main():
 
     if os.environ.get("BENCH_MODE") == "train":
         return bench_train()
+    if os.environ.get("BENCH_MODE") == "latency":
+        return bench_latency()
 
     from wavenet_vocoder_tpu.config import Config
     from wavenet_vocoder_tpu.models.wavenet import init_wavenet, spec_from_config

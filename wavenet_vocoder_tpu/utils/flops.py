@@ -39,18 +39,27 @@ def train_flops_per_sample(spec) -> int:
     return 3 * forward_flops_per_sample(spec)
 
 
-def xla_cost_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
-    """Exact per-invocation FLOPs from the compiled executable's cost
-    analysis; None when the backend doesn't report it."""
+def xla_cost_analysis(jitted_fn, *args, **kwargs) -> Optional[dict]:
+    """The compiled executable's cost analysis dict ('flops',
+    'bytes accessed', ...); None when the backend doesn't report it."""
     try:
         compiled = jitted_fn.lower(*args, **kwargs).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
+        return dict(ca) if ca else None
     except Exception:
         return None
+
+
+def xla_cost_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
+    """Exact per-invocation FLOPs from the compiled executable's cost
+    analysis; None when the backend doesn't report it."""
+    ca = xla_cost_analysis(jitted_fn, *args, **kwargs)
+    if not ca:
+        return None
+    flops = float(ca.get("flops", 0.0))
+    return flops if flops > 0 else None
 
 
 # bf16 matmul peak FLOP/s by device kind substring (public spec sheets)
@@ -70,4 +79,24 @@ def device_peak_flops(device=None) -> Optional[float]:
     for sub, peak in _PEAKS:
         if sub in kind:
             return peak
+    return None
+
+
+# HBM bandwidth (bytes/s) by device kind substring (public spec sheets)
+_HBM_BW = (
+    ("v5 lite", 819e9), ("v5e", 819e9),
+    ("v5p", 2765e9), ("v5", 2765e9),
+    ("v6 lite", 1640e9), ("v6e", 1640e9),
+    ("v4", 1228e9),
+    ("v3", 900e9),
+    ("v2", 700e9),
+)
+
+
+def device_peak_hbm_bw(device=None) -> Optional[float]:
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, bw in _HBM_BW:
+        if sub in kind:
+            return bw
     return None
