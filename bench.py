@@ -271,11 +271,18 @@ def main():
         variant = os.environ.get("BENCH_VARIANT", "fused")
         if int(os.environ.get("BENCH_SPLIT_TAPS", "0")):
             variant = "split_taps"
+        mesh = None
+        if int(os.environ.get("BENCH_MESH", "0")):
+            # dispatch through the multi-chip shard_map wrapper (all local
+            # devices; on a 1-chip host this measures pure wrapper overhead —
+            # per-chip throughput should be unchanged)
+            from wavenet_vocoder_tpu.parallel import make_mesh
+            mesh = make_mesh({"data": -1})
         gen = PallasGenerator(  # pack weights ONCE
             params, spec, chunk=chunk,
             vmem_limit_bytes=None if vmem_mb is None
             else int(float(vmem_mb) * 2 ** 20),
-            variant=variant,
+            variant=variant, mesh=mesh,
             unroll=int(os.environ.get("BENCH_UNROLL", "1")))
         est = gen.estimate_vmem_bytes(B)
         print(f"# pallas vmem estimate: {est / 2**20:.1f} MiB "
