@@ -184,9 +184,12 @@ def bench_latency():
     rs = np.random.RandomState(0)
     mel = rs.randn(B, frames, cfg.num_mels).astype(np.float32)
 
-    def run_stream(measure_first=False):
-        stream = StreamingSynthesizer(params, cfg, rng=jax.random.PRNGKey(1),
-                                      batch=B, engine="pallas")
+    stream = StreamingSynthesizer(params, cfg, rng=jax.random.PRNGKey(1),
+                                  batch=B, engine="pallas")
+    print("# latency bench: weights packed", file=sys.stderr)
+
+    def run_stream():
+        stream.reset()
         t0 = time.perf_counter()
         t_first = None
         n = 0
@@ -199,6 +202,7 @@ def bench_latency():
         return t_first, time.perf_counter() - t0, n
 
     run_stream()  # compile both segment shapes (feed + flush)
+    print("# latency bench: compiled; measuring", file=sys.stderr)
     t_first, wall, n = run_stream()
     audio_s = n / cfg.sample_rate
     per_stream_rt = audio_s / wall

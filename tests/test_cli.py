@@ -147,6 +147,18 @@ def test_evaluate_cli(workdir, trained):
     assert len(gens) == 2 and len(refs) == 2
 
 
+def test_evaluate_cli_mesh(workdir, trained, tmp_path):
+    """--mesh shards utterance batches over the 8 virtual devices; a batch
+    smaller than the device count is replicate-padded and trimmed."""
+    from wavenet_vocoder_tpu.cli.evaluate import main
+    ckpt = os.path.join(trained, "checkpoint_latest_ema.npz")
+    out = str(tmp_path / "generated_mesh")
+    main([str(workdir["root"] / "norm" / "train_no_dev"), ckpt, out,
+          "--num-utterances", "3", "--batch-size", "3", "--mesh"])
+    gens = [f for f in os.listdir(out) if f.endswith("_gen.wav")]
+    assert len(gens) == 3
+
+
 def test_tojson_cli(workdir, tmp_path):
     from wavenet_vocoder_tpu.cli.tojson import main
     out = str(tmp_path / "dump.json")

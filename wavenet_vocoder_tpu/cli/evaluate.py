@@ -56,6 +56,9 @@ def main(argv=None) -> None:
                    help="decoder engine: scan runs anywhere; pallas is the "
                         "fused TPU kernel (fastest on TPU; weights packed "
                         "once across batches)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard utterance batches over all local devices "
+                        "(data axis; works with both engines)")
     args = p.parse_args(argv)
 
     if args.verbose > 0:
@@ -76,7 +79,15 @@ def main(argv=None) -> None:
     # fold weight norm (and for pallas, pack kernel weights) ONCE across all
     # batches (make_generation_fast_; reference: synthesis.py:48-49)
     from wavenet_vocoder_tpu.synthesis import Synthesizer
-    synth = Synthesizer(params, cfg, spec=spec, engine=args.engine)
+    mesh = None
+    n_dev = 1
+    if args.mesh:
+        from wavenet_vocoder_tpu.parallel import make_mesh
+        mesh = make_mesh({"data": -1})
+        n_dev = mesh.shape["data"]
+        print(f"Sharding utterance batches over {n_dev} devices")
+    synth = Synthesizer(params, cfg, spec=spec, engine=args.engine,
+                        mesh=mesh)
 
     feats = sorted(glob(os.path.join(args.dump_dir, "*-feats.npy")))
     if not feats:
@@ -134,8 +145,15 @@ def main(argv=None) -> None:
                             for f in chunk], np.int32)
         else:
             g = None
+        if len(mels) % n_dev:
+            # mesh sharding needs batch % devices == 0: replicate-pad the
+            # tail rows and drop their outputs below
+            pad_n = n_dev - len(mels) % n_dev
+            c = np.concatenate([c] + [c[-1:]] * pad_n, axis=0)
+            if g is not None:
+                g = np.concatenate([g, np.repeat(g[-1:], pad_n)])
         wavs = synth(c, g=g, rng=jax.random.fold_in(rng, i),
-                     pad_context=False)
+                     pad_context=False)[:len(mels)]
         for j, fpath in enumerate(chunk):
             name = os.path.basename(fpath).replace("-feats.npy", "")
             if g is not None and multi_speaker:

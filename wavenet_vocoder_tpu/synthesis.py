@@ -150,6 +150,7 @@ class Synthesizer:
         self.cfg = cfg
         self.spec = spec or spec_from_config(cfg)
         self.engine = engine
+        self._mesh = mesh
         if engine == "pallas":
             from wavenet_vocoder_tpu.ops.pallas_generate import PallasGenerator
             self._gen = PallasGenerator(params, self.spec,
@@ -159,7 +160,11 @@ class Synthesizer:
             self._params = self._gen.params
         elif engine == "scan":
             self._gen = None
-            self._params = jax.device_put(make_generation_fast(params))
+            if mesh is not None:
+                from wavenet_vocoder_tpu.parallel import replicate
+                self._params = replicate(make_generation_fast(params), mesh)
+            else:
+                self._params = jax.device_put(make_generation_fast(params))
         else:
             raise ValueError(engine)
 
@@ -178,7 +183,7 @@ class Synthesizer:
                                 log_scale_min=cfg.log_scale_min)
             return _decode(cfg, samples)
         return batch_wavegen(self._params, cfg, spec=self.spec, c=c, g=g,
-                             T=T, rng=rng, fast=False)
+                             T=T, rng=rng, fast=False, mesh=self._mesh)
 
 
 def _initial_input(cfg: Config, spec: WaveNetSpec,
