@@ -246,7 +246,18 @@ def main():
     from wavenet_vocoder_tpu.ops.generate import generate
     from wavenet_vocoder_tpu.synthesis import pad_mel_context
 
-    cfg = Config()  # flagship MoL: 24 layers, 128/256/128, 80-mel upsampled
+    # flagship MoL: 24 layers, 128/256/128, 80-mel upsampled. BENCH_MODEL
+    # picks the published big configs (reference docs/content/index.md:126-128,
+    # tests/test_misc.py:9): "30L3S" = 6139-sample receptive field;
+    # "512ch" = 512-residual scale. Both ride the auto-batch-split path.
+    model_name = os.environ.get("BENCH_MODEL", "flagship")
+    overrides = {
+        "flagship": {},
+        "30L3S": {"layers": 30, "stacks": 3},
+        "512ch": {"residual_channels": 512, "gate_channels": 512,
+                  "skip_out_channels": 256},
+    }[model_name]
+    cfg = Config(**overrides)
     spec = spec_from_config(cfg)
     params = init_wavenet(jax.random.PRNGKey(0), spec)
 
@@ -327,7 +338,9 @@ def main():
             "samples_per_sec": round(B * T / dt, 1),
             "per_stream_realtime_x": round(T / cfg.sample_rate / dt, 2),
             "wall_s_per_iter": round(dt, 3),
-            "model": "24L/4S MoL 128/256/128",
+            "model": {"flagship": "24L/4S MoL 128/256/128",
+                      "30L3S": "30L/3S MoL 128/256/128 (rf 6139)",
+                      "512ch": "24L/4S MoL 512/512/256"}[model_name],
             "engine": engine,
             "device": str(jax.devices()[0]),
         },
