@@ -612,6 +612,7 @@ class PallasGenerator:
         self.unroll = unroll
         self.mesh = mesh
         self.data_axis = data_axis
+        self._shard_cache: Dict[Any, Any] = {}
         self.params = make_generation_fast(params)
         packed = pack_weights(self.params, spec, dtype=weight_dtype,
                               variant=variant)
@@ -820,30 +821,42 @@ class PallasGenerator:
                           kernel_kwargs) -> jnp.ndarray:
         """shard_map the fused kernel over the mesh's data axis: one
         independent per-device kernel per utterance shard, no collectives.
-        Per-device PRNG streams are seed + axis_index."""
+        Per-device PRNG streams are seed + axis_index.
+
+        The jitted shard_map wrapper is CACHED per call signature — a fresh
+        closure every call would retrace the whole kernel graph per request
+        (measured ~25% throughput loss on the B=256 flagship bench)."""
         from jax.sharding import PartitionSpec as P
         mesh, axis, spec = self.mesh, self.data_axis, self.spec
         has_c = c_up is not None
         has_g = g_gate is not None
+        key = (has_c, has_g, T_pad, x0.shape[0],
+               tuple(sorted(kernel_kwargs.items())))
+        fn = self._shard_cache.get(key)
+        if fn is None:
+            def body(packed, x0_l, seed_l, *rest):
+                c_l = rest[0] if has_c else None
+                g_l = rest[1 if has_c else 0] if has_g else None
+                seed_l = seed_l + jax.lax.axis_index(axis).astype(
+                    seed_l.dtype)
+                return _pallas_generate_jit(
+                    packed, spec, T=T_pad, c_up=c_l, g_gate=g_l,
+                    x0=x0_l, seed=seed_l, **kernel_kwargs)
 
-        def body(packed, x0_l, seed_l, *rest):
-            c_l = rest[0] if has_c else None
-            g_l = rest[1 if has_c else 0] if has_g else None
-            seed_l = seed_l + jax.lax.axis_index(axis).astype(seed_l.dtype)
-            return _pallas_generate_jit(
-                packed, spec, T=T_pad, c_up=c_l, g_gate=g_l,
-                x0=x0_l, seed=seed_l, **kernel_kwargs)
-
+            in_specs = [P(), P(axis), P()]
+            if has_c:
+                in_specs.append(P(axis))
+            if has_g:
+                in_specs.append(P(None, axis))
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=tuple(in_specs),
+                out_specs=P(axis), check_vma=False))
+            self._shard_cache[key] = fn
         args = [self.packed, x0, seed]
-        in_specs = [P(), P(axis), P()]
         if has_c:
             args.append(c_up)
-            in_specs.append(P(axis))
         if has_g:
             args.append(g_gate)
-            in_specs.append(P(None, axis))
-        fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                           out_specs=P(axis), check_vma=False)
         return fn(*args)
 
 
