@@ -97,6 +97,12 @@ class StreamingSynthesizer:
         else:
             self._extra = 0
             self.lookahead_frames = 0
+        # jitted conditioning window (fixed-size feeds hit one compiled
+        # shape; eager dispatch would cost several host round-trips per
+        # segment — significant at streaming granularity)
+        s_ = self.spec
+        self._cond_jit = jax.jit(
+            lambda params, win: upsample_conditioning(params, s_, win))
         if engine == "pallas":
             # fused-kernel streaming: the kernel's ring state carries across
             # segments (ops/pallas_generate.py `carry`); emitted blocks are
@@ -183,7 +189,7 @@ class StreamingSynthesizer:
         B_end = min(self._mel.shape[1], b + 2 * cp + self._extra)
         win = jnp.asarray(self._mel[:, A:B_end])
         if spec.upsample_conditional_features:
-            cond = upsample_conditioning(self.params, spec, win)
+            cond = self._cond_jit(self.params, win)
             # cond frames cover [A, B_end - 2*cp)
             lo = (a - A) * self.hop
             return cond[:, lo:lo + (b - a) * self.hop]
