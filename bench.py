@@ -67,6 +67,7 @@ def bench_train():
     # dataflow; more MFU requires fewer bytes, not better scheduling.
     B = int(os.environ.get("BENCH_BATCH", 32))
     cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
+                 remat_policy=os.environ.get("BENCH_REMAT_POLICY", ""),
                  batch_size=B, num_workers=4)
     T = cfg.max_time_steps
     frames = T // cfg.hop_size + 2 * cfg.cin_pad

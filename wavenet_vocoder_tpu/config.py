@@ -122,6 +122,12 @@ class Config:
     # ~30% more FLOPs for O(layers) less activation memory — for long crops
     # or wide models.
     remat: bool = False
+    # Remat policy: "" = recompute everything in backward; "dots" =
+    # jax.checkpoint_policies.dots_saveable — save matmul outputs, recompute
+    # only elementwise ops (GLU, casts). The train step is HBM-bandwidth
+    # bound (see bench.py roofline), so "dots" trades near-free VPU
+    # recompute for fewer stored bytes.
+    remat_policy: str = ""
     # Mesh shape spec for training, e.g. {"data": -1} (fill all devices).
     mesh_axes: Dict[str, int] = field(default_factory=lambda: {"data": -1})
     # Random seed for param init / data shuffling.

@@ -77,6 +77,7 @@ class WaveNetSpec:
     use_speaker_embedding: bool = False
     output_distribution: str = "Logistic"
     remat: bool = False
+    remat_policy: str = ""
 
     def __post_init__(self):
         assert self.layers % self.stacks == 0
@@ -138,6 +139,7 @@ def spec_from_config(cfg: Config) -> WaveNetSpec:
         use_speaker_embedding=cfg.use_speaker_embedding,
         output_distribution=cfg.output_distribution,
         remat=cfg.remat,
+        remat_policy=cfg.remat_policy,
     )
 
 
@@ -265,8 +267,12 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
                              dropout=spec.dropout if train else 0.0, rng=_k)
         if spec.remat:
             # recompute block activations in backward (jax.checkpoint):
-            # O(layers) less live memory for long crops
-            blk = jax.checkpoint(blk)
+            # O(layers) less live memory for long crops. policy="dots"
+            # keeps matmul outputs and recomputes only elementwise ops —
+            # the right trade for a bandwidth-bound step (bench.py roofline)
+            policy = (jax.checkpoint_policies.dots_saveable
+                      if spec.remat_policy == "dots" else None)
+            blk = jax.checkpoint(blk, policy=policy)
         x, h = blk(block_p, x, c, g_exp)
         skips = h if skips is None else skips + h
     skips = skips * math.sqrt(1.0 / spec.layers)  # (reference: wavenet.py:205)
