@@ -52,14 +52,18 @@ def main(argv=None) -> None:
     p.add_argument("--output-html", action="store_true",
                    help="suppress per-batch progress output "
                         "(reference: evaluate.py:198-200)")
-    p.add_argument("--engine", default="scan", choices=("scan", "pallas"),
-                   help="decoder engine: scan runs anywhere; pallas is the "
-                        "fused TPU kernel (fastest on TPU; weights packed "
-                        "once across batches)")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "scan", "pallas"),
+                   help="decoder engine: auto = pallas (fused TPU kernel, "
+                        "weights packed once across batches) on TPU "
+                        "backends, scan elsewhere")
     p.add_argument("--mesh", action="store_true",
                    help="shard utterance batches over all local devices "
                         "(data axis; works with both engines)")
     args = p.parse_args(argv)
+    if args.engine == "auto":
+        args.engine = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                       else "scan")
 
     if args.verbose > 0:
         print(f"dump_dir={args.dump_dir} checkpoint={args.checkpoint} "

@@ -61,10 +61,14 @@ def main(argv=None) -> None:
     p.add_argument("--output-html", action="store_true",
                    help="print an <audio> html snippet for the generated wav "
                         "(reference: synthesis.py:204)")
-    p.add_argument("--engine", default="scan", choices=("scan", "pallas"),
-                   help="decoder engine: scan runs anywhere; pallas is the "
-                        "fused TPU kernel (fastest on TPU)")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "scan", "pallas"),
+                   help="decoder engine: auto = pallas (fused TPU kernel) "
+                        "on TPU backends, scan elsewhere")
     args = p.parse_args(argv)
+    if args.engine == "auto":
+        args.engine = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                       else "scan")
 
     params, cfg, step = load_params_and_config(
         args.checkpoint, args.preset, args.hparams)
