@@ -1,0 +1,189 @@
+"""Fused training-stack kernel == the XLA layer loop, forward AND gradients
+(interpret mode on CPU; byte-level motivation in ops/pallas_train.py).
+
+Oracle: apply the same folded-weight residual stack with XLA res_block and
+compare outputs + grads w.r.t. every input."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavenet_vocoder_tpu.models.layers import res_block
+from wavenet_vocoder_tpu.models.wavenet import (
+    WaveNetSpec,
+    init_wavenet,
+    make_generation_fast,
+)
+from wavenet_vocoder_tpu.ops import pallas_train as pt
+
+
+def _spec(**kw):
+    base = dict(out_channels=64, layers=4, stacks=2, residual_channels=16,
+                gate_channels=32, skip_out_channels=24, cin_channels=8,
+                scalar_input=True, output_distribution="Logistic")
+    base.update(kw)
+    return WaveNetSpec(**base)
+
+
+def _xla_stack(blocks, spec, x0, c):
+    skips = None
+    x = x0
+    for bp, d in zip(blocks, spec.dilations):
+        x, h = res_block(bp, x, c, None, dilation=d)
+        skips = h if skips is None else skips + h
+    return skips
+
+
+def _setup(spec, B=2, T=96, seed=0):
+    params = make_generation_fast(
+        init_wavenet(jax.random.PRNGKey(seed), spec))
+    blocks = params["blocks"]
+    rs = np.random.RandomState(seed)
+    x0 = jnp.asarray(rs.randn(B, T, spec.residual_channels)
+                     .astype(np.float32))
+    c = (jnp.asarray(rs.randn(B, T, spec.cin_channels).astype(np.float32))
+         if spec.has_local_conditioning else None)
+    return blocks, x0, c
+
+
+@pytest.mark.parametrize("T,Tt", [(96, 32), (96, 96), (100, 32)])
+def test_fused_forward_matches_xla(T, Tt):
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=T)
+    ref = np.asarray(_xla_stack(blocks, spec, x0, c))
+    got = np.asarray(pt.fused_res_stack(
+        x0, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=Tt,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_forward_no_conditioning():
+    spec = _spec(cin_channels=-1)
+    blocks, x0, c = _setup(spec)
+    ref = np.asarray(_xla_stack(blocks, spec, x0, None))
+    got = np.asarray(pt.fused_res_stack(
+        x0, None, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_gradients_match_xla():
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(7)
+    # random cotangent projection -> scalar loss; grads must agree for
+    # x0, c, and every conv weight/bias in every block
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def loss_xla(blocks, x0, c):
+        return jnp.sum(_xla_stack(blocks, spec, x0, c) * w)
+
+    def loss_fused(blocks, x0, c):
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
+            interpret=True) * w)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(blocks, x0, c)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(blocks, x0, c)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+
+
+def test_fused_gradients_weight_norm_chain():
+    """Grad flows through the weight-norm fold (done in XLA outside the
+    kernel): d loss / d (g, v) matches the pure-XLA path."""
+    spec = _spec(layers=2, stacks=1)
+    params = init_wavenet(jax.random.PRNGKey(0), spec)  # weight-normed
+    rs = np.random.RandomState(1)
+    B, T = 2, 64
+    x0 = jnp.asarray(rs.randn(B, T, spec.residual_channels)
+                     .astype(np.float32))
+    c = jnp.asarray(rs.randn(B, T, spec.cin_channels).astype(np.float32))
+    w = jnp.asarray(rs.randn(B, T, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    from wavenet_vocoder_tpu.models.layers import remove_weight_norm
+
+    def fold_blocks(blocks):
+        return jax.tree.map(
+            lambda bp: bp, [
+                {k: (remove_weight_norm(v) if "v" in v else v)
+                 for k, v in bp.items()} for bp in blocks],
+            is_leaf=lambda n: isinstance(n, dict) and "v" in n)
+
+    def loss_xla(blocks):
+        folded = fold_blocks(blocks)
+        return jnp.sum(_xla_stack(folded, spec, x0, c) * w)
+
+    def loss_fused(blocks):
+        folded = fold_blocks(blocks)
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, folded, spec, dtype=jnp.float32, Bt=2, Tt=32,
+            interpret=True) * w)
+
+    g_ref = jax.grad(loss_xla)(params["blocks"])
+    g_got = jax.grad(loss_fused)(params["blocks"])
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+
+
+def test_fused_train_step_matches_xla():
+    """End-to-end: a full train step (loss, grads, optimizer update) with
+    fused_train=True matches the XLA path bit-for-bit-ish (f32, dropout=0)."""
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.training.train_state import (
+        create_train_state, make_train_step)
+
+    kw = dict(input_type="raw", quantize_channels=65536, out_channels=30,
+              layers=4, stacks=2, residual_channels=16, gate_channels=32,
+              skip_out_channels=24, cin_channels=8,
+              upsample_conditional_features=False, dropout=0.0,
+              compute_dtype="", lr_schedule="",
+              optimizer_params={"lr": 1e-3, "eps": 1e-8,
+                                "weight_decay": 0.0})
+    cfg_x = Config(**kw)
+    cfg_f = Config(**{**kw, "fused_train": True})
+
+    rs = np.random.RandomState(0)
+    B, T = 2, 96
+    batch = {
+        "x": jnp.asarray(rs.uniform(-0.5, 0.5, (B, T, 1))
+                         .astype(np.float32)),
+        "y": jnp.asarray(rs.uniform(-0.5, 0.5, (B, T, 1))
+                         .astype(np.float32)),
+        "c": jnp.asarray(rs.randn(B, T, 8).astype(np.float32)),
+        "input_lengths": jnp.asarray([T, T - 7], jnp.int32),
+    }
+    batch["y"] = batch["x"].copy()
+
+    s_x = create_train_state(cfg_x)
+    s_f = create_train_state(cfg_f)
+    # identical init (same seed)
+    for a, b in zip(jax.tree.leaves(s_x.params), jax.tree.leaves(s_f.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step_x, _ = make_train_step(cfg_x)
+    step_f, _ = make_train_step(cfg_f)
+    rng = jax.random.PRNGKey(0)
+    for i in range(2):
+        s_x, m_x = step_x(s_x, batch, rng)
+        s_f, m_f = step_f(s_f, batch, rng)
+    np.testing.assert_allclose(float(m_x["loss"]), float(m_f["loss"]),
+                               rtol=1e-5)
+    # Adam divides by sqrt(nu)+eps, amplifying f32 accumulation-order noise
+    # between the two (mathematically identical) grad computations
+    for a, b in zip(jax.tree.leaves(s_x.params), jax.tree.leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+def test_fused_train_rejects_dropout():
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.models.wavenet import spec_from_config
+    cfg = Config(fused_train=True, dropout=0.05)
+    with pytest.raises(ValueError, match="dropout"):
+        spec_from_config(cfg)

@@ -122,6 +122,13 @@ class Config:
     # ~30% more FLOPs for O(layers) less activation memory — for long crops
     # or wide models.
     remat: bool = False
+    # Fused training-stack kernel (ops/pallas_train.py): compute all
+    # residual blocks per VMEM tile instead of round-tripping every layer's
+    # activations through HBM — the train step is bandwidth-bound, so this
+    # is the throughput lever. Requires dropout=0 and no global
+    # conditioning (spec_from_config validates). TPU-only (XLA fallback
+    # engages automatically off-TPU for tests).
+    fused_train: bool = False
     # Remat policy: "" = recompute everything in backward; "dots" =
     # jax.checkpoint_policies.dots_saveable — save matmul outputs, recompute
     # only elementwise ops (GLU, casts). The train step is HBM-bandwidth

@@ -78,6 +78,7 @@ class WaveNetSpec:
     output_distribution: str = "Logistic"
     remat: bool = False
     remat_policy: str = ""
+    fused_train: bool = False
 
     def __post_init__(self):
         assert self.layers % self.stacks == 0
@@ -117,7 +118,7 @@ def spec_from_config(cfg: Config) -> WaveNetSpec:
     """Build the model spec the way the reference's build_model() does
     (reference: train.py:887-918)."""
     upsample_params = dict(cfg.upsample_params)
-    return WaveNetSpec(
+    spec = WaveNetSpec(
         out_channels=cfg.out_channels,
         layers=cfg.layers,
         stacks=cfg.stacks,
@@ -140,7 +141,18 @@ def spec_from_config(cfg: Config) -> WaveNetSpec:
         output_distribution=cfg.output_distribution,
         remat=cfg.remat,
         remat_policy=cfg.remat_policy,
+        fused_train=cfg.fused_train,
     )
+    if spec.fused_train:
+        if cfg.dropout > 0:
+            raise ValueError(
+                "fused_train requires dropout=0 (the fused kernel does not "
+                "implement dropout); set dropout=0.0 or fused_train=false")
+        if spec.has_global_conditioning:
+            raise ValueError(
+                "fused_train does not support global conditioning yet; "
+                "set fused_train=false")
+    return spec
 
 
 # ----------------------------------------------------------------------
@@ -256,6 +268,28 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
         g_exp = None if g_exp is None else g_exp.astype(dtype)
 
     x = conv1x1(params["first_conv"], x)
+
+    if spec.fused_train:
+        # fused residual-stack kernel: the whole layer loop per VMEM tile
+        # (ops/pallas_train.py; custom VJP, grads flow to (g, v) through
+        # the fold below). Interpret mode engages automatically off-TPU so
+        # the same config runs in CPU tests.
+        from wavenet_vocoder_tpu.ops.pallas_train import fused_res_stack
+        folded_blocks = [
+            {name: (remove_weight_norm(p) if "v" in p else p)
+             for name, p in bp.items()}
+            for bp in params["blocks"]]
+        skips = fused_res_stack(
+            x, c, folded_blocks, spec,
+            dtype=(dtype or jnp.float32),
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        skips = skips * math.sqrt(1.0 / spec.layers)
+        out = jax.nn.relu(skips.astype(dtype) if dtype else skips)
+        out = conv1x1(params["last_conv1"], out)
+        out = jax.nn.relu(out)
+        out = conv1x1(params["last_conv2"], out)
+        out = out.astype(jnp.float32)
+        return jax.nn.softmax(out, axis=-1) if softmax else out
 
     skips = None
     drop_keys = (jax.random.split(rng, spec.layers)

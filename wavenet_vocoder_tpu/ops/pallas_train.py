@@ -1,0 +1,510 @@
+"""Fused residual-stack kernel for TRAINING (forward + custom backward).
+
+Why: the XLA train step is HBM-bandwidth bound (see bench.py roofline:
+133.7GB/step at B=32 ≈ the measured step time at 819GB/s). Each of the 24
+residual blocks round-trips its activations through HBM — z (B,T,G), gated,
+out/skip projections. This kernel computes the WHOLE stack per (batch, time)
+tile inside VMEM: HBM traffic drops to x0/c in + skips out + parameter
+gradients, an order of magnitude fewer bytes.
+
+Structure (forward):
+  * grid = (n_bt, n_tt) over batch tiles x time tiles.
+  * each time tile loads a LEFT-extended window E = Tt + H where
+    H = sum((k-1)*d) is the stack receptive field: layer l's dilated conv
+    needs x_l history, and computing all layers on the extended window makes
+    the tile's [H, E) region exactly correct (halo positions of x_l are
+    recomputed per tile — cheaper than materializing x_l in HBM).
+  * per layer: causal dilated conv as k static-shifted matmuls over the
+    left-padded tile + cond 1x1 + GLU + fused (out|skip) matmul; skips
+    accumulate in f32 in VMEM; only skips[:, H:] is written out.
+  * the residual output of the last block is discarded, matching
+    apply_wavenet (the head consumes only the skip sum;
+    reference: wavenet.py:199-205).
+
+Backward (custom_vjp): mirrored right-extended tiles; the x_l chain is
+recomputed per tile (flash-attention-style), dz walks the layers top-down,
+dW/dc accumulate masked to each tile's home region so boundary-spanning
+contributions are counted exactly once. See _bwd kernel.
+
+Scope: local conditioning optional, no global conditioning, dropout=0
+(the caller falls back to the XLA path otherwise).
+
+Reference semantics being fused: modules.py:115-163 (ResidualConv1dGLU),
+wavenet.py:187-205 (layer loop + skip scaling).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_HALF = math.sqrt(0.5)
+
+
+def stack_receptive(dilations: Tuple[int, ...], k: int) -> int:
+    return sum((k - 1) * d for d in dilations)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pick_tiles(B: int, T: int, H: int,
+               bt: Optional[int] = None,
+               tt: Optional[int] = None) -> Tuple[int, int]:
+    """Pick (Bt, Tt): batch tile and time tile. The halo overhead is
+    (Tt+H)/Tt, so Tt should be a few x H; VMEM holds the per-layer
+    intermediates of one (Bt, Tt+H) window."""
+    if bt is None:
+        bt = min(B, 8)
+        while B % bt:
+            bt -= 1
+    if tt is None:
+        tt = min(_round_up(max(2 * H, 1024), 256), _round_up(T, 256))
+    return bt, tt
+
+
+def _hash_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Cheap integer mix (murmur3 finalizer) — used only if dropout is ever
+    added to the fused path; kept for reference."""
+    x = pltpu.bitcast(x, jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7feb352d)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846ca68b)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
+                     dils: Tuple[int, ...], Bt: int, E: int, Tt: int,
+                     dtype):
+    G2 = G // 2
+    has_c = cin > 0
+    pad = max((k - 1) * d for d in dils)
+
+    def kernel(x0_ref,                      # (1, Bt, E, R)
+               c_ref,                       # (1, Bt, E, cin) or (1,1,1,1)
+               w_in_ref, b_in_ref,          # (L, k*R, G), (L, G)
+               w_cond_ref,                  # (L, cin, G) or (1,1,1)
+               w_og_ref, b_og_ref,          # (L, G2, R+S), (L, R+S)
+               skips_ref):                  # out (1, Bt, Tt, S) f32
+        x = x0_ref[0].astype(jnp.float32)   # (Bt, E, R)
+        ct = None
+        if has_c:
+            ct = c_ref[0].astype(dtype).reshape(Bt * E, cin)
+        skips = jnp.zeros((Bt, E, S), jnp.float32)
+
+        for l in range(L):
+            d = dils[l]
+            w_l = w_in_ref[l]               # (k*R, G)
+            # left-pad once; tap j reads x[t - (k-1-j)*d] = xp[:, t + j*d]
+            xp = jnp.concatenate(
+                [jnp.zeros((Bt, pad, R), dtype), x.astype(dtype)], axis=1)
+            z = jnp.zeros((Bt * E, G), jnp.float32) + b_in_ref[l]
+            for j in range(k):
+                off = pad - (k - 1 - j) * d
+                tap = xp[:, off:off + E].reshape(Bt * E, R)
+                z = z + jnp.dot(tap, w_l[j * R:(j + 1) * R],
+                                preferred_element_type=jnp.float32)
+            if has_c:
+                z = z + jnp.dot(ct, w_cond_ref[l],
+                                preferred_element_type=jnp.float32)
+            a, b = z[:, :G2], z[:, G2:]
+            gated = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dtype)
+            y = jnp.dot(gated, w_og_ref[l],
+                        preferred_element_type=jnp.float32)
+            y = y + b_og_ref[l]             # (Bt*E, R+S)
+            skips = skips + y[:, R:].reshape(Bt, E, S)
+            x = (y[:, :R].reshape(Bt, E, R)
+                 + x) * _SQRT_HALF          # f32 residual accumulation
+
+        skips_ref[0] = skips[:, E - Tt:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "dils",
+                                   "Bt", "Tt", "dtype_name", "interpret"))
+def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
+              L, k, R, G, S, cin, dils, Bt, Tt, dtype_name,
+              interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    B, T, _ = x0.shape
+    H = stack_receptive(dils, k)
+    E = Tt + H
+    T_pad = _round_up(T, Tt)
+    n_tt = T_pad // Tt
+    n_bt = B // Bt
+
+    # left-extended tiles (XLA prepares the halo copies — ~H/Tt extra bytes
+    # of x0/c only)
+    def tiles(a, C):
+        a = jnp.pad(a, ((0, 0), (H, T_pad - T), (0, 0)))
+        return jnp.stack([a[:, i * Tt:i * Tt + E] for i in range(n_tt)])
+
+    x0e = tiles(x0, R)                      # (n_tt, B, E, R)
+    if cin > 0:
+        ce = tiles(c, cin)
+    else:
+        ce = jnp.zeros((1, 1, 1, 1), x0.dtype)
+
+    kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
+                              Bt=Bt, E=E, Tt=Tt, dtype=dtype)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, Bt, E, R), lambda bi, ti: (ti, bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    c_spec = (pl.BlockSpec((1, Bt, E, cin), lambda bi, ti: (ti, bi, 0, 0),
+                           memory_space=pltpu.VMEM)
+              if cin > 0 else
+              pl.BlockSpec((1, 1, 1, 1), lambda bi, ti: (0, 0, 0, 0),
+                           memory_space=pltpu.VMEM))
+
+    skips = pl.pallas_call(
+        kernel,
+        grid=(n_bt, n_tt),
+        in_specs=[x_spec, c_spec, full(), full(), full(), full(), full()],
+        out_specs=pl.BlockSpec((1, Bt, Tt, S),
+                               lambda bi, ti: (ti, bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tt, B, Tt, S), jnp.float32),
+        interpret=interpret,
+    )(x0e, ce, w_in, b_in, w_cond, w_og, b_og)
+    # (n_tt, B, Tt, S) -> (B, T, S)
+    skips = jnp.swapaxes(skips, 0, 1).reshape(B, T_pad, S)[:, :T]
+    return skips
+
+
+def pack_block_weights(folded_blocks, spec, dtype=jnp.float32):
+    """Stack per-block FOLDED conv kernels for the fused kernel.
+
+    folded_blocks: list of block param dicts whose convs are plain
+    {"w": (K, In, Out), "b"} (weight norm already folded — folding stays in
+    XLA so its gradient flows to (g, v) automatically).
+    Returns (w_in (L,k*R,G), b_in (L,G), w_cond (L,cin,G)|dummy,
+             w_og (L,G2,R+S), b_og (L,R+S)).
+    """
+    k = spec.kernel_size
+    R = spec.residual_channels
+    w_in = jnp.stack([bp["conv"]["w"].reshape(k * R, -1).astype(dtype)
+                      for bp in folded_blocks])
+    b_in = jnp.stack([bp["conv"]["b"].astype(jnp.float32)
+                      for bp in folded_blocks])
+    if spec.has_local_conditioning:
+        w_cond = jnp.stack([bp["cond_c"]["w"][0].astype(dtype)
+                            for bp in folded_blocks])
+    else:
+        w_cond = jnp.zeros((1, 1, 1), dtype)
+    w_og = jnp.stack([jnp.concatenate(
+        [bp["out"]["w"][0], bp["skip"]["w"][0]], axis=-1).astype(dtype)
+        for bp in folded_blocks])
+    b_og = jnp.stack([jnp.concatenate(
+        [bp["out"]["b"], bp["skip"]["b"]]).astype(jnp.float32)
+        for bp in folded_blocks])
+    return w_in, b_in, w_cond, w_og, b_og
+
+
+def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
+                    folded_blocks, spec, *, dtype=jnp.bfloat16,
+                    Bt: Optional[int] = None, Tt: Optional[int] = None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Run the whole residual stack fused; returns skips (B, T, S) f32.
+
+    x0: (B, T, R) output of first_conv; c: (B, T, cin) sample-rate
+    conditioning or None. Gradients flow through a custom VJP with a fused
+    backward kernel (see _bwd_call)."""
+    L = spec.layers
+    k = spec.kernel_size
+    R = spec.residual_channels
+    G = spec.gate_channels
+    S = spec.skip_out_channels
+    cin = spec.cin_channels if spec.has_local_conditioning else -1
+    dils = spec.dilations
+    B, T, _ = x0.shape
+    H = stack_receptive(dils, k)
+    Bt_, Tt_ = pick_tiles(B, T, H, Bt, Tt)
+
+    w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
+        folded_blocks, spec, dtype=dtype)
+    if c is None and cin > 0:
+        raise ValueError("spec has conditioning but c is None")
+    c_arr = c if c is not None else jnp.zeros((1, 1, 1), x0.dtype)
+    return _fused_vjp(x0, c_arr, w_in, b_in, w_cond, w_og, b_og,
+                      L, k, R, G, S, (cin if c is not None else -1),
+                      dils, Bt_, Tt_, jnp.dtype(dtype).name, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=tuple(range(7, 18)))
+def _fused_vjp(x0, c, w_in, b_in, w_cond, w_og, b_og,
+               L, k, R, G, S, cin, dils, Bt, Tt, dtype_name, interpret):
+    return _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
+                     L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
+                     Bt=Bt, Tt=Tt, dtype_name=dtype_name,
+                     interpret=interpret)
+
+
+def _fused_fwd(x0, c, w_in, b_in, w_cond, w_og, b_og,
+               L, k, R, G, S, cin, dils, Bt, Tt, dtype_name, interpret):
+    out = _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
+                    L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
+                    Bt=Bt, Tt=Tt, dtype_name=dtype_name,
+                    interpret=interpret)
+    return out, (x0, c, w_in, b_in, w_cond, w_og, b_og)
+
+
+def _fused_bwd(L, k, R, G, S, cin, dils, Bt, Tt, dtype_name, interpret,
+               res, dskips):
+    x0, c, w_in, b_in, w_cond, w_og, b_og = res
+    grads = _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
+                      dskips.astype(jnp.float32),
+                      L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
+                      Bt=Bt, Tt=Tt, dtype_name=dtype_name,
+                      interpret=interpret)
+    return grads
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ----------------------------------------------------------------------
+# backward
+# ----------------------------------------------------------------------
+def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
+                     dils: Tuple[int, ...], Bt: int, E: int, Tt: int,
+                     dtype):
+    """Per (bt, tt) tile: recompute the x_l chain on a DOUBLE-extended
+    window [t0-H, t0+Tt+H), walk layers top-down computing dz, propagate
+    dx via the transposed dilated conv (needs the RIGHT halo), accumulate
+    dW/dc masked to the home region [t0, t0+Tt) so every position is
+    counted exactly once across tiles."""
+    G2 = G // 2
+    has_c = cin > 0
+    pad = max((k - 1) * d for d in dils)
+
+    def kernel(x0_ref,                       # (1, Bt, E, R)  E = Tt + 2H
+               c_ref,                        # (1, Bt, E, cin) or dummy
+               dsk_ref,                      # (1, Bt, E, S) f32 (zero pad)
+               hm_ref,                       # (1, 1, E, 1) f32 home mask
+               w_in_ref, b_in_ref, w_cond_ref, w_og_ref, b_og_ref,
+               dx0_ref,                      # out (1, Bt, Tt, R) f32
+               dc_ref,                       # out (1, Bt, Tt, cin)|dummy f32
+               dw_in_ref, db_in_ref,         # out (L, k*R, G) f32, (L, G)
+               dw_cond_ref,                  # out (L, cin, G) f32 | dummy
+               dw_og_ref, db_og_ref,         # out (L, G2, R+S), (L, R+S)
+               xs_ref):                      # scratch (L, Bt, E, R)
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(bi == 0, ti == 0))
+        def _init():
+            dw_in_ref[...] = jnp.zeros_like(dw_in_ref)
+            db_in_ref[...] = jnp.zeros_like(db_in_ref)
+            dw_cond_ref[...] = jnp.zeros_like(dw_cond_ref)
+            dw_og_ref[...] = jnp.zeros_like(dw_og_ref)
+            db_og_ref[...] = jnp.zeros_like(db_og_ref)
+
+        ct = None
+        ct_m = None
+        hm = hm_ref[0, 0]                    # (E, 1)
+        if has_c:
+            ct = c_ref[0].astype(dtype).reshape(Bt * E, cin)
+            ct_m = (c_ref[0].astype(jnp.float32) * hm).astype(dtype) \
+                .reshape(Bt * E, cin)
+
+        def in_proj(xf, l):
+            """z (Bt*E, G) from x_l f32 (Bt, E, R)."""
+            w_l = w_in_ref[l]
+            xp = jnp.concatenate(
+                [jnp.zeros((Bt, pad, R), dtype), xf.astype(dtype)], axis=1)
+            z = jnp.zeros((Bt * E, G), jnp.float32) + b_in_ref[l]
+            for j in range(k):
+                off = pad - (k - 1 - j) * dils[l]
+                tap = xp[:, off:off + E].reshape(Bt * E, R)
+                z = z + jnp.dot(tap, w_l[j * R:(j + 1) * R],
+                                preferred_element_type=jnp.float32)
+            if has_c:
+                z = z + jnp.dot(ct, w_cond_ref[l],
+                                preferred_element_type=jnp.float32)
+            return z
+
+        # phase 1: recompute and stash x_l for all layers
+        x = x0_ref[0].astype(jnp.float32)
+        for l in range(L):
+            xs_ref[l] = x.astype(xs_ref.dtype)
+            z = in_proj(x, l)
+            a, b = z[:, :G2], z[:, G2:]
+            gated = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dtype)
+            y = jnp.dot(gated, w_og_ref[l],
+                        preferred_element_type=jnp.float32)
+            x = ((y[:, :R] + b_og_ref[l][:R]).reshape(Bt, E, R)
+                 + x) * _SQRT_HALF
+
+        # phase 2: top-down grads
+        dskips = dsk_ref[0].reshape(Bt * E, S)          # (Bt*E, S) f32
+        dx = jnp.zeros((Bt, E, R), jnp.float32)         # d x_{l+1}
+        dc_acc = (jnp.zeros((Bt * E, cin), jnp.float32) if has_c else None)
+        for l in range(L - 1, -1, -1):
+            xl = xs_ref[l].astype(jnp.float32)          # (Bt, E, R)
+            z = in_proj(xl, l)
+            a, b = z[:, :G2], z[:, G2:]
+            ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
+            gated = (ta * sb).astype(dtype)
+
+            dy_out = dx * _SQRT_HALF                    # (Bt, E, R)
+            # dgated from out (all positions) and skip (all positions; the
+            # dskips tile is the true neighbor-extended gradient)
+            dy = jnp.concatenate(
+                [dy_out.reshape(Bt * E, R), dskips], axis=-1)  # (.., R+S)
+            dgated = jnp.dot(dy.astype(dtype), w_og_ref[l].T,
+                             preferred_element_type=jnp.float32)
+            da = dgated * sb * (1.0 - ta * ta)
+            db = dgated * ta * sb * (1.0 - sb)
+            dz = jnp.concatenate([da, db], axis=-1)     # (Bt*E, G) f32
+
+            # --- parameter grads: home-masked dz so boundary-spanning
+            # positions accumulate in exactly one tile
+            dz_m = (dz.reshape(Bt, E, G) * hm).reshape(Bt * E, G)
+            dz_md = dz_m.astype(dtype)
+            xp = jnp.concatenate(
+                [jnp.zeros((Bt, pad, R), dtype), xl.astype(dtype)], axis=1)
+            for j in range(k):
+                off = pad - (k - 1 - j) * dils[l]
+                tap = xp[:, off:off + E].reshape(Bt * E, R)
+                dw_in_ref[l, j * R:(j + 1) * R] += jnp.dot(
+                    tap.T, dz_md, preferred_element_type=jnp.float32)
+            db_in_ref[l] += jnp.sum(dz_m, axis=0)
+            if has_c:
+                dw_cond_ref[l] += jnp.dot(ct_m.T, dz_md,
+                                          preferred_element_type=jnp.float32)
+                dc_acc = dc_acc + jnp.dot(dz_md, w_cond_ref[l].T,
+                                          preferred_element_type=jnp.float32)
+            gm = (gated.astype(jnp.float32).reshape(Bt, E, G2)
+                  * hm).astype(dtype).reshape(Bt * E, G2)
+            dy_m = (dy.astype(jnp.float32).reshape(Bt, E, R + S)
+                    * hm).astype(dtype).reshape(Bt * E, R + S)
+            dw_og_ref[l] += jnp.dot(gm.T, dy_m,
+                                    preferred_element_type=jnp.float32)
+            db_og_ref[l] += jnp.sum(
+                dy_m.astype(jnp.float32), axis=0)
+
+            # --- dx_l: residual passthrough + transposed dilated conv.
+            # dxin[t] += dz[t + (k-1-j)*d] @ Wj^T  (right-shifted reads;
+            # zero-pad dz on the right)
+            w_l = w_in_ref[l]
+            dz3 = dz.reshape(Bt, E, G)
+            dzp = jnp.concatenate(
+                [dz3.astype(dtype), jnp.zeros((Bt, pad, G), dtype)], axis=1)
+            dxin = jnp.zeros((Bt * E, R), jnp.float32)
+            for j in range(k):
+                sh = (k - 1 - j) * dils[l]
+                dtap = dzp[:, sh:sh + E].reshape(Bt * E, G)
+                dxin = dxin + jnp.dot(dtap, w_l[j * R:(j + 1) * R].T,
+                                      preferred_element_type=jnp.float32)
+            dx = dy_out + dxin.reshape(Bt, E, R)
+
+        H = (E - Tt) // 2
+        dx0_ref[0] = dx[:, H:H + Tt]
+        if has_c:
+            dc_ref[0] = dc_acc.reshape(Bt, E, cin)[:, H:H + Tt]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "dils",
+                                   "Bt", "Tt", "dtype_name", "interpret"))
+def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
+              L, k, R, G, S, cin, dils, Bt, Tt, dtype_name,
+              interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    B, T, _ = x0.shape
+    H = stack_receptive(dils, k)
+    E = Tt + 2 * H
+    T_pad = _round_up(T, Tt)
+    n_tt = T_pad // Tt
+    n_bt = B // Bt
+    has_c = cin > 0
+
+    def tiles(a, left, right):
+        a = jnp.pad(a, ((0, 0), (left, right + T_pad - T), (0, 0)))
+        return jnp.stack([a[:, i * Tt:i * Tt + E] for i in range(n_tt)])
+
+    x0e = tiles(x0.astype(jnp.float32), H, H)
+    ce = (tiles(c.astype(jnp.float32), H, H) if has_c
+          else jnp.zeros((1, 1, 1, 1), jnp.float32))
+    dske = tiles(dskips, H, H)
+    # home mask: within the double-extended window, positions [H, H+Tt)
+    # belong to this tile
+    hm = jnp.zeros((1, 1, E, 1), jnp.float32).at[:, :, H:H + Tt].set(1.0)
+
+    kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
+                              Bt=Bt, E=E, Tt=Tt, dtype=dtype)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def tile_spec(C):
+        return pl.BlockSpec((1, Bt, E, C), lambda bi, ti: (ti, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    c_spec = (tile_spec(cin) if has_c else
+              pl.BlockSpec((1, 1, 1, 1), lambda bi, ti: (0, 0, 0, 0),
+                           memory_space=pltpu.VMEM))
+    acc = lambda shape: pl.BlockSpec(
+        shape, lambda bi, ti: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+
+    kR = k * R
+    G2 = G // 2
+    cin_d = cin if has_c else 1
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_tt, B, Tt, R), jnp.float32),   # dx0
+        jax.ShapeDtypeStruct((n_tt, B, Tt, cin_d) if has_c
+                             else (1, 1, 1, 1), jnp.float32),  # dc
+        jax.ShapeDtypeStruct((L, kR, G), jnp.float32),
+        jax.ShapeDtypeStruct((L, G), jnp.float32),
+        jax.ShapeDtypeStruct((L, cin_d, G) if has_c
+                             else (1, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((L, G2, R + S), jnp.float32),
+        jax.ShapeDtypeStruct((L, R + S), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, Bt, Tt, R), lambda bi, ti: (ti, bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, Bt, Tt, cin_d), lambda bi, ti: (ti, bi, 0, 0),
+                      memory_space=pltpu.VMEM) if has_c else
+         acc((1, 1, 1, 1))),
+        acc((L, kR, G)),
+        acc((L, G)),
+        acc((L, cin_d, G) if has_c else (1, 1, 1)),
+        acc((L, G2, R + S)),
+        acc((L, R + S)),
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_bt, n_tt),
+        in_specs=[tile_spec(R), c_spec, tile_spec(S),
+                  acc((1, 1, E, 1)),
+                  full(), full(), full(), full(), full()],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((L, Bt, E, R), dtype)],
+        interpret=interpret,
+    )(x0e, ce, dske, hm, w_in, b_in, w_cond, w_og, b_og)
+
+    dx0t, dct, dw_in, db_in, dw_cond, dw_og, db_og = outs
+    dx0 = jnp.swapaxes(dx0t, 0, 1).reshape(B, T_pad, R)[:, :T]
+    if has_c:
+        dc = jnp.swapaxes(dct, 0, 1).reshape(B, T_pad, cin)[:, :T]
+    else:
+        dc = jnp.zeros_like(c)
+    # db_og holds d(b_out|b_skip); the fwd consumed b_og as one vector
+    return (dx0.astype(x0.dtype), dc.astype(c.dtype),
+            dw_in.astype(w_in.dtype), db_in.astype(b_in.dtype),
+            (dw_cond.astype(w_cond.dtype) if has_c
+             else jnp.zeros_like(w_cond)),
+            dw_og.astype(w_og.dtype), db_og.astype(b_og.dtype))
