@@ -66,8 +66,11 @@ def bench_train():
     # at 819GB/s vs 0.160s measured — MFU 22.8% is speed-of-light for this
     # dataflow; more MFU requires fewer bytes, not better scheduling.
     B = int(os.environ.get("BENCH_BATCH", 32))
+    fused = bool(int(os.environ.get("BENCH_FUSED", "0")))
     cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
                  remat_policy=os.environ.get("BENCH_REMAT_POLICY", ""),
+                 fused_train=fused,
+                 dropout=float(os.environ.get("BENCH_DROPOUT", "0.0")),
                  batch_size=B, num_workers=4)
     T = cfg.max_time_steps
     frames = T // cfg.hop_size + 2 * cfg.cin_pad

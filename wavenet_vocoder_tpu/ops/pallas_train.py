@@ -55,18 +55,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pick_tiles(B: int, T: int, H: int,
+def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                bt: Optional[int] = None,
                tt: Optional[int] = None) -> Tuple[int, int]:
     """Pick (Bt, Tt): batch tile and time tile. The halo overhead is
-    (Tt+H)/Tt, so Tt should be a few x H; VMEM holds the per-layer
-    intermediates of one (Bt, Tt+H) window."""
-    if bt is None:
-        bt = min(B, 8)
-        while B % bt:
-            bt -= 1
+    (Tt+H)/Tt, so Tt should be a few x H. The backward kernel stashes the
+    whole x_l chain — (L, Bt, Tt+2H, R) bf16 — in VMEM, which caps Bt."""
     if tt is None:
         tt = min(_round_up(max(2 * H, 1024), 256), _round_up(T, 256))
+    if bt is None:
+        budget = 48 * 2 ** 20  # leave room for transients + weights
+        per_b = L * (tt + 2 * H) * R * 2
+        bt = max(1, min(B, budget // max(per_b, 1)))
+        while B % bt:
+            bt -= 1
     return bt, tt
 
 
@@ -228,7 +230,7 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     dils = spec.dilations
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
-    Bt_, Tt_ = pick_tiles(B, T, H, Bt, Tt)
+    Bt_, Tt_ = pick_tiles(B, T, H, L, R, Bt, Tt)
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
         folded_blocks, spec, dtype=dtype)
