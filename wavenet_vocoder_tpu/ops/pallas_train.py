@@ -64,7 +64,9 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
     if tt is None:
         tt = min(_round_up(max(2 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
-        budget = 48 * 2 ** 20  # leave room for transients + weights
+        # the backward also pays ~tile-sized register-allocator spills and
+        # double-buffered input windows on top of the x-stash scratch
+        budget = 24 * 2 ** 20
         per_b = L * (tt + 2 * H) * R * 2
         bt = max(1, min(B, budget // max(per_b, 1)))
         while B % bt:
@@ -148,14 +150,14 @@ def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
     # left-extended tiles (XLA prepares the halo copies — ~H/Tt extra bytes
     # of x0/c only)
     def tiles(a, C):
-        a = jnp.pad(a, ((0, 0), (H, T_pad - T), (0, 0)))
+        a = jnp.pad(a.astype(dtype), ((0, 0), (H, T_pad - T), (0, 0)))
         return jnp.stack([a[:, i * Tt:i * Tt + E] for i in range(n_tt)])
 
-    x0e = tiles(x0, R)                      # (n_tt, B, E, R)
+    x0e = tiles(x0, R)                      # (n_tt, B, E, R) in compute dtype
     if cin > 0:
         ce = tiles(c, cin)
     else:
-        ce = jnp.zeros((1, 1, 1, 1), x0.dtype)
+        ce = jnp.zeros((1, 1, 1, 1), dtype)
 
     kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
                               Bt=Bt, E=E, Tt=Tt, dtype=dtype)
@@ -168,6 +170,12 @@ def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
               pl.BlockSpec((1, 1, 1, 1), lambda bi, ti: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM))
 
+    compiler_params = None
+    if not interpret:
+        # the unrolled 24-layer body holds several layers' temporaries live;
+        # Mosaic's default 16MB scoped-VMEM limit is far below physical
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20)
     skips = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
@@ -177,6 +185,7 @@ def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tt, B, Tt, S), jnp.float32),
         interpret=interpret,
+        compiler_params=compiler_params,
     )(x0e, ce, w_in, b_in, w_cond, w_og, b_og)
     # (n_tt, B, Tt, S) -> (B, T, S)
     skips = jnp.swapaxes(skips, 0, 1).reshape(B, T_pad, S)[:, :T]
@@ -436,9 +445,11 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         a = jnp.pad(a, ((0, 0), (left, right + T_pad - T), (0, 0)))
         return jnp.stack([a[:, i * Tt:i * Tt + E] for i in range(n_tt)])
 
-    x0e = tiles(x0.astype(jnp.float32), H, H)
-    ce = (tiles(c.astype(jnp.float32), H, H) if has_c
-          else jnp.zeros((1, 1, 1, 1), jnp.float32))
+    # tile inputs ride in the kernel compute dtype (bf16 in production —
+    # halves the double-buffered VMEM windows); grads stay f32
+    x0e = tiles(x0.astype(dtype), H, H)
+    ce = (tiles(c.astype(dtype), H, H) if has_c
+          else jnp.zeros((1, 1, 1, 1), dtype))
     dske = tiles(dskips, H, H)
     # home mask: within the double-extended window, positions [H, H+Tt)
     # belong to this tile
@@ -486,6 +497,10 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         acc((L, R + S)),
     )
 
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
@@ -496,6 +511,7 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((L, Bt, E, R), dtype)],
         interpret=interpret,
+        compiler_params=compiler_params,
     )(x0e, ce, dske, hm, w_in, b_in, w_cond, w_og, b_og)
 
     dx0t, dct, dw_in, db_in, dw_cond, dw_og, db_og = outs
