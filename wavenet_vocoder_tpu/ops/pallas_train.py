@@ -221,6 +221,9 @@ def pack_block_weights(folded_blocks, spec, dtype=jnp.float32):
     return w_in, b_in, w_cond, w_og, b_og
 
 
+import os as _os
+
+
 def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
                     folded_blocks, spec, *, dtype=jnp.bfloat16,
                     Bt: Optional[int] = None, Tt: Optional[int] = None,
@@ -239,6 +242,11 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     dils = spec.dilations
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
+    # tuning escape hatches for benchmarking tile shapes
+    if Bt is None and _os.environ.get("FUSED_BT"):
+        Bt = int(_os.environ["FUSED_BT"])
+    if Tt is None and _os.environ.get("FUSED_TT"):
+        Tt = int(_os.environ["FUSED_TT"])
     Bt_, Tt_ = pick_tiles(B, T, H, L, R, Bt, Tt)
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
