@@ -95,8 +95,10 @@ def bench_train():
     step_flops = float(ca.get("flops", 0)) or None
     step_bytes = float(ca.get("bytes accessed", 0)) or None
     flops_src = "xla_cost_analysis"
-    if step_flops is None:
-        step_flops = flops_lib.train_flops_per_sample(spec) * B * T
+    analytic = flops_lib.train_flops_per_sample(spec) * B * T
+    if step_flops is None or step_flops < 0.5 * analytic:
+        # cost analysis can't see inside pallas custom-calls (fused path)
+        step_flops = analytic
         flops_src = "analytic_3x_forward"
     peak = flops_lib.device_peak_flops()
     hbm_bw = flops_lib.device_peak_hbm_bw()
