@@ -58,7 +58,7 @@ def _round_up(x: int, m: int) -> int:
 def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                bt: Optional[int] = None,
                tt: Optional[int] = None) -> Tuple[int, int]:
-    """Pick (Bt, Tt): batch tile and time tile. The halo overhead is
+    """Pick (Bt, Tt) for the BACKWARD kernel. The halo overhead is
     (Tt+H)/Tt, so Tt should be a few x H. The backward kernel stashes the
     whole x_l chain — (L, Bt, Tt+2H, R) bf16 — in VMEM, which caps Bt."""
     if tt is None:
@@ -68,6 +68,29 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
         # double-buffered input windows on top of the x-stash scratch
         budget = 24 * 2 ** 20
         per_b = L * (tt + 2 * H) * R * 2
+        bt = max(1, min(B, budget // max(per_b, 1)))
+        while B % bt:
+            bt -= 1
+    return bt, tt
+
+
+def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
+                   cin: int,
+                   bt: Optional[int] = None,
+                   tt: Optional[int] = None) -> Tuple[int, int]:
+    """Pick (Bt, Tt) for the FORWARD kernel. No x-chain stash here, so the
+    batch tile is bounded only by the live working set per grid step
+    (double-buffered input windows + f32 skip/z temporaries), which lets it
+    run several batch rows per tile — fewer grid steps, taller matmuls."""
+    if tt is None:
+        tt = min(_round_up(max(2 * H, 1024), 256), _round_up(T, 256))
+    if bt is None:
+        e = tt + H
+        # rough live bytes per batch row: x0/c windows (bf16, double-
+        # buffered), padded tap buffer, f32 z + skips + y temporaries
+        per_b = e * (2 * 2 * (R + max(cin, 0)) + 2 * R
+                     + 4 * (G + S + R + S))
+        budget = 56 * 2 ** 20
         bt = max(1, min(B, budget // max(per_b, 1)))
         while B % bt:
             bt -= 1
@@ -242,12 +265,19 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     dils = spec.dilations
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
-    # tuning escape hatches for benchmarking tile shapes
+    # tuning escape hatches for benchmarking tile shapes; FUSED_BT/FUSED_TT
+    # set both kernels, FUSED_BT_F/FUSED_TT_F override the forward's
     if Bt is None and _os.environ.get("FUSED_BT"):
         Bt = int(_os.environ["FUSED_BT"])
     if Tt is None and _os.environ.get("FUSED_TT"):
         Tt = int(_os.environ["FUSED_TT"])
-    Bt_, Tt_ = pick_tiles(B, T, H, L, R, Bt, Tt)
+    Bt_b, Tt_b = pick_tiles(B, T, H, L, R, Bt, Tt)
+    bt_f = int(_os.environ["FUSED_BT_F"]) if (
+        Bt is None and _os.environ.get("FUSED_BT_F")) else Bt
+    tt_f = int(_os.environ["FUSED_TT_F"]) if (
+        Tt is None and _os.environ.get("FUSED_TT_F")) else Tt
+    S_ = spec.skip_out_channels
+    Bt_f, Tt_f = pick_tiles_fwd(B, T, H, L, R, G, S_, cin, bt_f, tt_f)
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
         folded_blocks, spec, dtype=dtype)
@@ -256,34 +286,37 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     c_arr = c if c is not None else jnp.zeros((1, 1, 1), x0.dtype)
     return _fused_vjp(x0, c_arr, w_in, b_in, w_cond, w_og, b_og,
                       L, k, R, G, S, (cin if c is not None else -1),
-                      dils, Bt_, Tt_, jnp.dtype(dtype).name, interpret)
+                      dils, Bt_f, Tt_f, Bt_b, Tt_b,
+                      jnp.dtype(dtype).name, interpret)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=tuple(range(7, 18)))
+@partial(jax.custom_vjp, nondiff_argnums=tuple(range(7, 20)))
 def _fused_vjp(x0, c, w_in, b_in, w_cond, w_og, b_og,
-               L, k, R, G, S, cin, dils, Bt, Tt, dtype_name, interpret):
+               L, k, R, G, S, cin, dils, Bt_f, Tt_f, Bt_b, Tt_b,
+               dtype_name, interpret):
     return _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
                      L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                     Bt=Bt, Tt=Tt, dtype_name=dtype_name,
+                     Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
                      interpret=interpret)
 
 
 def _fused_fwd(x0, c, w_in, b_in, w_cond, w_og, b_og,
-               L, k, R, G, S, cin, dils, Bt, Tt, dtype_name, interpret):
+               L, k, R, G, S, cin, dils, Bt_f, Tt_f, Bt_b, Tt_b,
+               dtype_name, interpret):
     out = _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
                     L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                    Bt=Bt, Tt=Tt, dtype_name=dtype_name,
+                    Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
                     interpret=interpret)
     return out, (x0, c, w_in, b_in, w_cond, w_og, b_og)
 
 
-def _fused_bwd(L, k, R, G, S, cin, dils, Bt, Tt, dtype_name, interpret,
-               res, dskips):
+def _fused_bwd(L, k, R, G, S, cin, dils, Bt_f, Tt_f, Bt_b, Tt_b,
+               dtype_name, interpret, res, dskips):
     x0, c, w_in, b_in, w_cond, w_og, b_og = res
     grads = _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
                       dskips.astype(jnp.float32),
                       L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                      Bt=Bt, Tt=Tt, dtype_name=dtype_name,
+                      Bt=Bt_b, Tt=Tt_b, dtype_name=dtype_name,
                       interpret=interpret)
     return grads
 
@@ -352,16 +385,18 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                                 preferred_element_type=jnp.float32)
             return z
 
-        # phase 1: recompute and stash x_l for all layers
+        # phase 1: recompute and stash x_l for all layers. Only the residual
+        # half of the (out|skip) projection feeds x_{l+1} — the skip half is
+        # discarded here, so project against w_og[:, :R] alone.
         x = x0_ref[0].astype(jnp.float32)
         for l in range(L):
             xs_ref[l] = x.astype(xs_ref.dtype)
             z = in_proj(x, l)
             a, b = z[:, :G2], z[:, G2:]
             gated = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dtype)
-            y = jnp.dot(gated, w_og_ref[l],
+            y = jnp.dot(gated, w_og_ref[l][:, :R],
                         preferred_element_type=jnp.float32)
-            x = ((y[:, :R] + b_og_ref[l][:R]).reshape(Bt, E, R)
+            x = ((y + b_og_ref[l][:R]).reshape(Bt, E, R)
                  + x) * _SQRT_HALF
 
         # phase 2: top-down grads
