@@ -27,11 +27,12 @@ def _spec(**kw):
     return WaveNetSpec(**base)
 
 
-def _xla_stack(blocks, spec, x0, c):
+def _xla_stack(blocks, spec, x0, c, g=None):
     skips = None
     x = x0
+    g_exp = None if g is None else g[:, None, :]
     for bp, d in zip(blocks, spec.dilations):
-        x, h = res_block(bp, x, c, None, dilation=d)
+        x, h = res_block(bp, x, c, g_exp, dilation=d)
         skips = h if skips is None else skips + h
     return skips
 
@@ -67,6 +68,46 @@ def test_fused_forward_no_conditioning():
         x0, None, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
         interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_forward_global_cond():
+    """Global conditioning: the time-constant cond_g projection enters the
+    kernel as a per-(layer, batch) bias (reference: modules.py:149-154)."""
+    spec = _spec(gin_channels=6, use_speaker_embedding=False)
+    blocks, x0, c = _setup(spec)
+    rs = np.random.RandomState(3)
+    g = jnp.asarray(rs.randn(2, 6).astype(np.float32))
+    ref = np.asarray(_xla_stack(blocks, spec, x0, c, g))
+    got = np.asarray(pt.fused_res_stack(
+        x0, c, blocks, spec, g=g, dtype=jnp.float32, Bt=2, Tt=32,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_gradients_global_cond():
+    """d loss / d {cond_g weights, g vector} match the XLA path (dgb is
+    accumulated home-masked in the backward kernel, then chained to cond_g
+    through the XLA-side (L, B, G) bias stack)."""
+    spec = _spec(gin_channels=6, use_speaker_embedding=False)
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(11)
+    g = jnp.asarray(rs.randn(2, 6).astype(np.float32))
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def loss_xla(blocks, x0, c, g):
+        return jnp.sum(_xla_stack(blocks, spec, x0, c, g) * w)
+
+    def loss_fused(blocks, x0, c, g):
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, blocks, spec, g=g, dtype=jnp.float32, Bt=1, Tt=32,
+            interpret=True) * w)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(blocks, x0, c, g)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(blocks, x0, c, g)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
 
 
 def test_fused_gradients_match_xla():
@@ -127,6 +168,41 @@ def test_fused_gradients_weight_norm_chain():
 
     g_ref = jax.grad(loss_xla)(params["blocks"])
     g_got = jax.grad(loss_fused)(params["blocks"])
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+
+
+def test_fused_nonzero_biases_first_tile():
+    """Regression: with nonzero conv/out biases (i.e. any trained model) the
+    first time tile's synthetic zero halo must not fabricate x_l history —
+    true causal semantics pin x_l[t<0] = 0 (each layer's conv zero-pads).
+    Fresh-init tests missed this because biases start at zero."""
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(5)
+    blocks = [
+        {**bp,
+         "conv": {**bp["conv"], "b": jnp.asarray(
+             rs.randn(spec.gate_channels).astype(np.float32))},
+         "out": {**bp["out"], "b": jnp.asarray(
+             rs.randn(spec.residual_channels).astype(np.float32))},
+         "skip": {**bp["skip"], "b": jnp.asarray(
+             rs.randn(spec.skip_out_channels).astype(np.float32))}}
+        for bp in blocks]
+    ref = np.asarray(_xla_stack(blocks, spec, x0, c))
+    got = np.asarray(pt.fused_res_stack(
+        x0, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+    g_ref = jax.grad(lambda b_: jnp.sum(_xla_stack(b_, spec, x0, c) * w))(
+        blocks)
+    g_got = jax.grad(lambda b_: jnp.sum(pt.fused_res_stack(
+        x0, c, b_, spec, dtype=jnp.float32, Bt=2, Tt=32,
+        interpret=True) * w))(blocks)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=3e-4, rtol=2e-4)

@@ -143,15 +143,11 @@ def spec_from_config(cfg: Config) -> WaveNetSpec:
         remat_policy=cfg.remat_policy,
         fused_train=cfg.fused_train,
     )
-    if spec.fused_train:
-        if cfg.dropout > 0:
-            raise ValueError(
-                "fused_train requires dropout=0 (the fused kernel does not "
-                "implement dropout); set dropout=0.0 or fused_train=false")
-        if spec.has_global_conditioning:
-            raise ValueError(
-                "fused_train does not support global conditioning yet; "
-                "set fused_train=false")
+    if spec.fused_train and cfg.dropout > 0:
+        raise ValueError(
+            "fused_train requires dropout=0 (the fused kernel does not "
+            "implement dropout; the reference default is dropout=0.0, "
+            "hparams.py:64); set dropout=0.0 or fused_train=false")
     return spec
 
 
@@ -281,6 +277,7 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
             for bp in params["blocks"]]
         skips = fused_res_stack(
             x, c, folded_blocks, spec,
+            g=None if g_vec is None else g_vec.astype(jnp.float32),
             dtype=(dtype or jnp.float32),
             interpret=jax.default_backend() not in ("tpu", "axon"))
         skips = skips * math.sqrt(1.0 / spec.layers)

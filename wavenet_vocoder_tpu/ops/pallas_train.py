@@ -110,14 +110,15 @@ def _hash_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
-                     dils: Tuple[int, ...], Bt: int, E: int, Tt: int,
-                     dtype):
+                     has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
+                     Tt: int, dtype):
     G2 = G // 2
     has_c = cin > 0
     pad = max((k - 1) * d for d in dils)
 
     def kernel(x0_ref,                      # (1, Bt, E, R)
                c_ref,                       # (1, Bt, E, cin) or (1,1,1,1)
+               gb_ref,                      # (L, Bt, G) f32 or (1,1,1)
                w_in_ref, b_in_ref,          # (L, k*R, G), (L, G)
                w_cond_ref,                  # (L, cin, G) or (1,1,1)
                w_og_ref, b_og_ref,          # (L, G2, R+S), (L, R+S)
@@ -128,13 +129,29 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             ct = c_ref[0].astype(dtype).reshape(Bt * E, cin)
         skips = jnp.zeros((Bt, E, S), jnp.float32)
 
+        # True causal semantics: every layer's conv zero-pads its input, so
+        # x_l[t<0] == 0 exactly. The FIRST time tile's left halo is synthetic
+        # zeros of x0 — recomputing layers there would give nonzero x_l
+        # whenever biases (b_in/b_og) or global conditioning are nonzero.
+        # Zero the halo after each layer for tile 0 to pin x_l[t<0] = 0.
+        ti = pl.program_id(1)
+        Hh = E - Tt
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, E, 1), 1)
+        halo_keep = jnp.where((e_idx >= Hh) | (ti != 0), 1.0, 0.0)
+
         for l in range(L):
             d = dils[l]
             w_l = w_in_ref[l]               # (k*R, G)
             # left-pad once; tap j reads x[t - (k-1-j)*d] = xp[:, t + j*d]
             xp = jnp.concatenate(
                 [jnp.zeros((Bt, pad, R), dtype), x.astype(dtype)], axis=1)
-            z = jnp.zeros((Bt * E, G), jnp.float32) + b_in_ref[l]
+            bias = jnp.zeros((Bt, 1, G), jnp.float32) + b_in_ref[l]
+            if has_g:
+                # global conditioning: time-constant per-(batch,layer) bias
+                # (cond_g 1x1 on a constant vector; computed in XLA)
+                bias = bias + gb_ref[l][:, None, :]
+            z = (jnp.zeros((Bt, E, G), jnp.float32)
+                 + bias).reshape(Bt * E, G)
             for j in range(k):
                 off = pad - (k - 1 - j) * d
                 tap = xp[:, off:off + E].reshape(Bt * E, R)
@@ -151,16 +168,19 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             skips = skips + y[:, R:].reshape(Bt, E, S)
             x = (y[:, :R].reshape(Bt, E, R)
                  + x) * _SQRT_HALF          # f32 residual accumulation
+            if l < L - 1:
+                x = x * halo_keep
 
         skips_ref[0] = skips[:, E - Tt:]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "dils",
-                                   "Bt", "Tt", "dtype_name", "interpret"))
-def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
-              L, k, R, G, S, cin, dils, Bt, Tt, dtype_name,
+@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "has_g",
+                                   "dils", "Bt", "Tt", "dtype_name",
+                                   "interpret"))
+def _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, *,
+              L, k, R, G, S, cin, has_g, dils, Bt, Tt, dtype_name,
               interpret=False):
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
@@ -182,8 +202,8 @@ def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
     else:
         ce = jnp.zeros((1, 1, 1, 1), dtype)
 
-    kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                              Bt=Bt, E=E, Tt=Tt, dtype=dtype)
+    kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
+                              dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, Bt, E, R), lambda bi, ti: (ti, bi, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -192,6 +212,11 @@ def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
               if cin > 0 else
               pl.BlockSpec((1, 1, 1, 1), lambda bi, ti: (0, 0, 0, 0),
                            memory_space=pltpu.VMEM))
+    gb_spec = (pl.BlockSpec((L, Bt, G), lambda bi, ti: (0, bi, 0),
+                            memory_space=pltpu.VMEM)
+               if has_g else
+               pl.BlockSpec((1, 1, 1), lambda bi, ti: (0, 0, 0),
+                            memory_space=pltpu.VMEM))
 
     compiler_params = None
     if not interpret:
@@ -202,14 +227,15 @@ def _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, *,
     skips = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
-        in_specs=[x_spec, c_spec, full(), full(), full(), full(), full()],
+        in_specs=[x_spec, c_spec, gb_spec,
+                  full(), full(), full(), full(), full()],
         out_specs=pl.BlockSpec((1, Bt, Tt, S),
                                lambda bi, ti: (ti, bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tt, B, Tt, S), jnp.float32),
         interpret=interpret,
         compiler_params=compiler_params,
-    )(x0e, ce, w_in, b_in, w_cond, w_og, b_og)
+    )(x0e, ce, gb, w_in, b_in, w_cond, w_og, b_og)
     # (n_tt, B, Tt, S) -> (B, T, S)
     skips = jnp.swapaxes(skips, 0, 1).reshape(B, T_pad, S)[:, :T]
     return skips
@@ -248,14 +274,18 @@ import os as _os
 
 
 def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
-                    folded_blocks, spec, *, dtype=jnp.bfloat16,
+                    folded_blocks, spec, *, g: Optional[jnp.ndarray] = None,
+                    dtype=jnp.bfloat16,
                     Bt: Optional[int] = None, Tt: Optional[int] = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Run the whole residual stack fused; returns skips (B, T, S) f32.
 
     x0: (B, T, R) output of first_conv; c: (B, T, cin) sample-rate
-    conditioning or None. Gradients flow through a custom VJP with a fused
-    backward kernel (see _bwd_call)."""
+    conditioning or None; g: (B, gin) embedded global-conditioning vector
+    or None — time-constant, so its cond_g 1x1 collapses to a per-layer
+    (B, G) bias computed here in XLA (gradient flows to cond_g through the
+    stack below). Gradients flow through a custom VJP with a fused backward
+    kernel (see _bwd_call)."""
     L = spec.layers
     k = spec.kernel_size
     R = spec.residual_channels
@@ -284,39 +314,49 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     if c is None and cin > 0:
         raise ValueError("spec has conditioning but c is None")
     c_arr = c if c is not None else jnp.zeros((1, 1, 1), x0.dtype)
-    return _fused_vjp(x0, c_arr, w_in, b_in, w_cond, w_og, b_og,
-                      L, k, R, G, S, (cin if c is not None else -1),
+    has_g = g is not None
+    if has_g:
+        # (L, B, G) time-constant bias; stays in the autodiff graph so
+        # d(gbias) chains to cond_g weights (and the speaker embedding)
+        gb = jnp.stack([
+            jnp.dot(g.astype(jnp.float32),
+                    bp["cond_g"]["w"][0].astype(jnp.float32))
+            for bp in folded_blocks])
+    else:
+        gb = jnp.zeros((1, 1, 1), jnp.float32)
+    return _fused_vjp(x0, c_arr, gb, w_in, b_in, w_cond, w_og, b_og,
+                      L, k, R, G, S, (cin if c is not None else -1), has_g,
                       dils, Bt_f, Tt_f, Bt_b, Tt_b,
                       jnp.dtype(dtype).name, interpret)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=tuple(range(7, 20)))
-def _fused_vjp(x0, c, w_in, b_in, w_cond, w_og, b_og,
-               L, k, R, G, S, cin, dils, Bt_f, Tt_f, Bt_b, Tt_b,
+@partial(jax.custom_vjp, nondiff_argnums=tuple(range(8, 22)))
+def _fused_vjp(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
+               L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
                dtype_name, interpret):
-    return _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
-                     L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                     Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
+    return _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
+                     L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
+                     dils=dils, Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
                      interpret=interpret)
 
 
-def _fused_fwd(x0, c, w_in, b_in, w_cond, w_og, b_og,
-               L, k, R, G, S, cin, dils, Bt_f, Tt_f, Bt_b, Tt_b,
+def _fused_fwd(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
+               L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
                dtype_name, interpret):
-    out = _fwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
-                    L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                    Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
+    out = _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
+                    L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
+                    dils=dils, Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
                     interpret=interpret)
-    return out, (x0, c, w_in, b_in, w_cond, w_og, b_og)
+    return out, (x0, c, gb, w_in, b_in, w_cond, w_og, b_og)
 
 
-def _fused_bwd(L, k, R, G, S, cin, dils, Bt_f, Tt_f, Bt_b, Tt_b,
+def _fused_bwd(L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
                dtype_name, interpret, res, dskips):
-    x0, c, w_in, b_in, w_cond, w_og, b_og = res
-    grads = _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og,
+    x0, c, gb, w_in, b_in, w_cond, w_og, b_og = res
+    grads = _bwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
                       dskips.astype(jnp.float32),
-                      L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                      Bt=Bt_b, Tt=Tt_b, dtype_name=dtype_name,
+                      L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
+                      dils=dils, Bt=Bt_b, Tt=Tt_b, dtype_name=dtype_name,
                       interpret=interpret)
     return grads
 
@@ -328,8 +368,8 @@ _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 # backward
 # ----------------------------------------------------------------------
 def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
-                     dils: Tuple[int, ...], Bt: int, E: int, Tt: int,
-                     dtype):
+                     has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
+                     Tt: int, dtype):
     """Per (bt, tt) tile: recompute the x_l chain on a DOUBLE-extended
     window [t0-H, t0+Tt+H), walk layers top-down computing dz, propagate
     dx via the transposed dilated conv (needs the RIGHT halo), accumulate
@@ -341,11 +381,13 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
 
     def kernel(x0_ref,                       # (1, Bt, E, R)  E = Tt + 2H
                c_ref,                        # (1, Bt, E, cin) or dummy
+               gb_ref,                       # (L, Bt, G) f32 or (1,1,1)
                dsk_ref,                      # (1, Bt, E, S) f32 (zero pad)
                hm_ref,                       # (1, 1, E, 1) f32 home mask
                w_in_ref, b_in_ref, w_cond_ref, w_og_ref, b_og_ref,
                dx0_ref,                      # out (1, Bt, Tt, R) f32
                dc_ref,                       # out (1, Bt, Tt, cin)|dummy f32
+               dgb_ref,                      # out (L, Bt, G) f32 | dummy
                dw_in_ref, db_in_ref,         # out (L, k*R, G) f32, (L, G)
                dw_cond_ref,                  # out (L, cin, G) f32 | dummy
                dw_og_ref, db_og_ref,         # out (L, G2, R+S), (L, R+S)
@@ -361,6 +403,12 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             dw_og_ref[...] = jnp.zeros_like(dw_og_ref)
             db_og_ref[...] = jnp.zeros_like(db_og_ref)
 
+        if has_g:
+            # dgb blocks are per-bi (grid iterates ti fastest)
+            @pl.when(ti == 0)
+            def _init_gb():
+                dgb_ref[...] = jnp.zeros_like(dgb_ref)
+
         ct = None
         ct_m = None
         hm = hm_ref[0, 0]                    # (E, 1)
@@ -374,7 +422,11 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             w_l = w_in_ref[l]
             xp = jnp.concatenate(
                 [jnp.zeros((Bt, pad, R), dtype), xf.astype(dtype)], axis=1)
-            z = jnp.zeros((Bt * E, G), jnp.float32) + b_in_ref[l]
+            bias = jnp.zeros((Bt, 1, G), jnp.float32) + b_in_ref[l]
+            if has_g:
+                bias = bias + gb_ref[l][:, None, :]
+            z = (jnp.zeros((Bt, E, G), jnp.float32)
+                 + bias).reshape(Bt * E, G)
             for j in range(k):
                 off = pad - (k - 1 - j) * dils[l]
                 tap = xp[:, off:off + E].reshape(Bt * E, R)
@@ -387,7 +439,13 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
 
         # phase 1: recompute and stash x_l for all layers. Only the residual
         # half of the (out|skip) projection feeds x_{l+1} — the skip half is
-        # discarded here, so project against w_og[:, :R] alone.
+        # discarded here, so project against w_og[:, :R] alone. The first
+        # tile's left halo represents t<0 where true x_l == 0 (every layer's
+        # conv zero-pads); zero it after each layer so nonzero biases /
+        # global conditioning don't fabricate halo history (see fwd kernel).
+        Hh = (E - Tt) // 2
+        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, E, 1), 1)
+        halo_keep = jnp.where((e_idx >= Hh) | (ti != 0), 1.0, 0.0)
         x = x0_ref[0].astype(jnp.float32)
         for l in range(L):
             xs_ref[l] = x.astype(xs_ref.dtype)
@@ -398,6 +456,8 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                         preferred_element_type=jnp.float32)
             x = ((y + b_og_ref[l][:R]).reshape(Bt, E, R)
                  + x) * _SQRT_HALF
+            if l < L - 1:
+                x = x * halo_keep
 
         # phase 2: top-down grads
         dskips = dsk_ref[0].reshape(Bt * E, S)          # (Bt*E, S) f32
@@ -433,6 +493,8 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                 dw_in_ref[l, j * R:(j + 1) * R] += jnp.dot(
                     tap.T, dz_md, preferred_element_type=jnp.float32)
             db_in_ref[l] += jnp.sum(dz_m, axis=0)
+            if has_g:
+                dgb_ref[l] += jnp.sum(dz_m.reshape(Bt, E, G), axis=1)
             if has_c:
                 dw_cond_ref[l] += jnp.dot(ct_m.T, dz_md,
                                           preferred_element_type=jnp.float32)
@@ -470,10 +532,11 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "dils",
-                                   "Bt", "Tt", "dtype_name", "interpret"))
-def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
-              L, k, R, G, S, cin, dils, Bt, Tt, dtype_name,
+@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "has_g",
+                                   "dils", "Bt", "Tt", "dtype_name",
+                                   "interpret"))
+def _bwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, dskips, *,
+              L, k, R, G, S, cin, has_g, dils, Bt, Tt, dtype_name,
               interpret=False):
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
@@ -498,8 +561,8 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
     # belong to this tile
     hm = jnp.zeros((1, 1, E, 1), jnp.float32).at[:, :, H:H + Tt].set(1.0)
 
-    kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, dils=dils,
-                              Bt=Bt, E=E, Tt=Tt, dtype=dtype)
+    kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
+                              dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def tile_spec(C):
@@ -516,10 +579,17 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
     kR = k * R
     G2 = G // 2
     cin_d = cin if has_c else 1
+    gb_spec = (pl.BlockSpec((L, Bt, G), lambda bi, ti: (0, bi, 0),
+                            memory_space=pltpu.VMEM)
+               if has_g else
+               pl.BlockSpec((1, 1, 1), lambda bi, ti: (0, 0, 0),
+                            memory_space=pltpu.VMEM))
     out_shapes = (
         jax.ShapeDtypeStruct((n_tt, B, Tt, R), jnp.float32),   # dx0
         jax.ShapeDtypeStruct((n_tt, B, Tt, cin_d) if has_c
                              else (1, 1, 1, 1), jnp.float32),  # dc
+        jax.ShapeDtypeStruct((L, B, G) if has_g
+                             else (1, 1, 1), jnp.float32),     # dgb
         jax.ShapeDtypeStruct((L, kR, G), jnp.float32),
         jax.ShapeDtypeStruct((L, G), jnp.float32),
         jax.ShapeDtypeStruct((L, cin_d, G) if has_c
@@ -533,6 +603,9 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         (pl.BlockSpec((1, Bt, Tt, cin_d), lambda bi, ti: (ti, bi, 0, 0),
                       memory_space=pltpu.VMEM) if has_c else
          acc((1, 1, 1, 1))),
+        (pl.BlockSpec((L, Bt, G), lambda bi, ti: (0, bi, 0),
+                      memory_space=pltpu.VMEM) if has_g else
+         acc((1, 1, 1))),
         acc((L, kR, G)),
         acc((L, G)),
         acc((L, cin_d, G) if has_c else (1, 1, 1)),
@@ -547,7 +620,7 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
     outs = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
-        in_specs=[tile_spec(R), c_spec, tile_spec(S),
+        in_specs=[tile_spec(R), c_spec, gb_spec, tile_spec(S),
                   acc((1, 1, E, 1)),
                   full(), full(), full(), full(), full()],
         out_specs=out_specs,
@@ -555,9 +628,9 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         scratch_shapes=[pltpu.VMEM((L, Bt, E, R), dtype)],
         interpret=interpret,
         compiler_params=compiler_params,
-    )(x0e, ce, dske, hm, w_in, b_in, w_cond, w_og, b_og)
+    )(x0e, ce, gb, dske, hm, w_in, b_in, w_cond, w_og, b_og)
 
-    dx0t, dct, dw_in, db_in, dw_cond, dw_og, db_og = outs
+    dx0t, dct, dgb, dw_in, db_in, dw_cond, dw_og, db_og = outs
     dx0 = jnp.swapaxes(dx0t, 0, 1).reshape(B, T_pad, R)[:, :T]
     if has_c:
         dc = jnp.swapaxes(dct, 0, 1).reshape(B, T_pad, cin)[:, :T]
@@ -565,6 +638,7 @@ def _bwd_call(x0, c, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         dc = jnp.zeros_like(c)
     # db_og holds d(b_out|b_skip); the fwd consumed b_og as one vector
     return (dx0.astype(x0.dtype), dc.astype(c.dtype),
+            (dgb if has_g else jnp.zeros_like(gb)),
             dw_in.astype(w_in.dtype), db_in.astype(b_in.dtype),
             (dw_cond.astype(w_cond.dtype) if has_c
              else jnp.zeros_like(w_cond)),
