@@ -58,15 +58,16 @@ def bench_train():
     from wavenet_vocoder_tpu.utils import flops as flops_lib
 
     pipeline = bool(int(os.environ.get("BENCH_PIPELINE", "0")))
-    # flagship MoL, 10240 crop, bf16 compute. Measured sweep on v5e-1
-    # (samples/s, no remat unless noted): B=8: 1.15M, 16: 1.89M, 32: 2.04M
-    # (peak; hbm_bound_frac 1.02 — AT the HBM roofline), 64: 1.77M,
-    # 128: OOM; with remat: 32: 1.53M, 64: 1.51M (recompute traffic loses).
-    # The step is memory-bound: 133.7GB accessed/step at B=32 = 0.163s floor
-    # at 819GB/s vs 0.160s measured — MFU 22.8% is speed-of-light for this
-    # dataflow; more MFU requires fewer bytes, not better scheduling.
+    # flagship MoL, 10240 crop, bf16 compute. Default path: the FUSED
+    # residual-stack kernel (ops/pallas_train.py) — 2.71M samples/s at B=32
+    # (0.121s/step, MFU 30.1%, hbm_bound_frac 0.14; tile sweep in
+    # scripts/bench_fused_sweep.py). BENCH_FUSED=0 gives the XLA layer-loop
+    # path: B=8: 1.15M, 16: 1.89M, 32: 2.04M (peak — AT the HBM roofline:
+    # 133.7GB/step at 819GB/s ≈ the whole step time; that roofline is WHY
+    # the fused kernel wins — it cuts HBM traffic 10x), 64: 1.77M, 128: OOM;
+    # remat hurts either path (recompute adds traffic).
     B = int(os.environ.get("BENCH_BATCH", 32))
-    fused = bool(int(os.environ.get("BENCH_FUSED", "0")))
+    fused = bool(int(os.environ.get("BENCH_FUSED", "1")))
     cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
                  remat_policy=os.environ.get("BENCH_REMAT_POLICY", ""),
                  fused_train=fused,

@@ -124,10 +124,11 @@ class Config:
     remat: bool = False
     # Fused training-stack kernel (ops/pallas_train.py): compute all
     # residual blocks per VMEM tile instead of round-tripping every layer's
-    # activations through HBM — the train step is bandwidth-bound, so this
-    # is the throughput lever. Requires dropout=0 and no global
-    # conditioning (spec_from_config validates). TPU-only (XLA fallback
-    # engages automatically off-TPU for tests).
+    # activations through HBM — the XLA train step is bandwidth-bound, so
+    # this is the throughput lever. Supports local + global conditioning;
+    # requires dropout=0 (the reference default, hparams.py:64;
+    # spec_from_config validates). TPU-only (XLA interpret fallback engages
+    # automatically off-TPU for tests).
     fused_train: bool = False
     # Remat policy: "" = recompute everything in backward; "dots" =
     # jax.checkpoint_policies.dots_saveable — save matmul outputs, recompute

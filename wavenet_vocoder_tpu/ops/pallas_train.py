@@ -59,10 +59,13 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                bt: Optional[int] = None,
                tt: Optional[int] = None) -> Tuple[int, int]:
     """Pick (Bt, Tt) for the BACKWARD kernel. The halo overhead is
-    (Tt+H)/Tt, so Tt should be a few x H. The backward kernel stashes the
-    whole x_l chain — (L, Bt, Tt+2H, R) bf16 — in VMEM, which caps Bt."""
+    (Tt+2H)/Tt, so Tt should be a few x H — measured on v5e (flagship,
+    H=504): Tt=2048 beats 1024 (0.128 vs 0.156 s fwd+bwd) and 4096
+    (0.138 s; the bigger x-stash loses more to VMEM pressure than the
+    smaller halo gains). The backward kernel stashes the whole x_l chain —
+    (L, Bt, Tt+2H, R) bf16 — in VMEM, which caps Bt."""
     if tt is None:
-        tt = min(_round_up(max(2 * H, 1024), 256), _round_up(T, 256))
+        tt = min(_round_up(max(4 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
         # the backward also pays ~tile-sized register-allocator spills and
         # double-buffered input windows on top of the x-stash scratch
@@ -83,7 +86,7 @@ def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
     (double-buffered input windows + f32 skip/z temporaries), which lets it
     run several batch rows per tile — fewer grid steps, taller matmuls."""
     if tt is None:
-        tt = min(_round_up(max(2 * H, 1024), 256), _round_up(T, 256))
+        tt = min(_round_up(max(4 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
         e = tt + H
         # rough live bytes per batch row: x0/c windows (bf16, double-
