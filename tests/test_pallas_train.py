@@ -257,6 +257,50 @@ def test_fused_train_step_matches_xla():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
 
 
+def test_fused_train_step_sharded_matches_single():
+    """Multi-device fused training: the stack dispatches through shard_map
+    over the mesh data axis (GSPMD cannot partition Mosaic custom calls).
+    The sharded step must reproduce the single-device step — same loss,
+    same updated params (weight cotangents psum'd by the shard_map
+    transpose)."""
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.parallel import (
+        make_mesh, shard_batch, shard_state)
+    from wavenet_vocoder_tpu.training.train_state import (
+        create_train_state, make_train_step)
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+
+    cfg = Config(input_type="raw", quantize_channels=65536, out_channels=30,
+                 layers=4, stacks=2, residual_channels=16, gate_channels=32,
+                 skip_out_channels=24, cin_channels=8,
+                 upsample_conditional_features=False, dropout=0.0,
+                 compute_dtype="", lr_schedule="", fused_train=True)
+    rs = np.random.RandomState(0)
+    B, T = 8, 96
+    x = rs.uniform(-0.5, 0.5, (B, T, 1)).astype(np.float32)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(x.copy()),
+             "c": jnp.asarray(rs.randn(B, T, 8).astype(np.float32)),
+             "input_lengths": jnp.asarray([T] * B, jnp.int32)}
+
+    s1 = create_train_state(cfg)
+    step1, _ = make_train_step(cfg)
+    s1, m1 = step1(s1, batch, jax.random.PRNGKey(0))
+
+    sN = shard_state(create_train_state(cfg), mesh)
+    stepN, _ = make_train_step(cfg, mesh=mesh)
+    sN, mN = stepN(sN, shard_batch(batch, mesh, axis="data"),
+                   jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(mN["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sN.params)):
+        np.testing.assert_allclose(np.asarray(jax.device_get(b)),
+                                   np.asarray(a), atol=2e-5)
+
+
 def test_fused_train_rejects_dropout():
     from wavenet_vocoder_tpu.config import Config
     from wavenet_vocoder_tpu.models.wavenet import spec_from_config

@@ -236,7 +236,7 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
                   c: Optional[jnp.ndarray] = None,
                   g: Optional[jnp.ndarray] = None, *,
                   softmax: bool = False, train: bool = False,
-                  rng=None, dtype=None) -> jnp.ndarray:
+                  rng=None, dtype=None, mesh=None) -> jnp.ndarray:
     """Batch forward (reference: wavenet.py:164-213).
 
     Args:
@@ -246,6 +246,9 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
       g: global conditioning — int ids (B,)/(B,1) or floats (B, gin).
       dtype: compute dtype for the conv stack (e.g. jnp.bfloat16); params are
          f32 masters, head math returns f32.
+      mesh: multi-device Mesh with a "data" axis — only needed by the
+         fused_train path (Mosaic custom calls aren't GSPMD-partitionable;
+         the fused stack dispatches via shard_map over the batch).
     Returns:
       (B, T, out_channels) float32 (optionally softmaxed over channels).
     """
@@ -278,7 +281,7 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
         skips = fused_res_stack(
             x, c, folded_blocks, spec,
             g=None if g_vec is None else g_vec.astype(jnp.float32),
-            dtype=(dtype or jnp.float32),
+            dtype=(dtype or jnp.float32), mesh=mesh,
             interpret=jax.default_backend() not in ("tpu", "axon"))
         skips = skips * math.sqrt(1.0 / spec.layers)
         out = jax.nn.relu(skips.astype(dtype) if dtype else skips)

@@ -280,7 +280,8 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
                     folded_blocks, spec, *, g: Optional[jnp.ndarray] = None,
                     dtype=jnp.bfloat16,
                     Bt: Optional[int] = None, Tt: Optional[int] = None,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    mesh=None, data_axis: str = "data") -> jnp.ndarray:
     """Run the whole residual stack fused; returns skips (B, T, S) f32.
 
     x0: (B, T, R) output of first_conv; c: (B, T, cin) sample-rate
@@ -288,7 +289,13 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     or None — time-constant, so its cond_g 1x1 collapses to a per-layer
     (B, G) bias computed here in XLA (gradient flows to cond_g through the
     stack below). Gradients flow through a custom VJP with a fused backward
-    kernel (see _bwd_call)."""
+    kernel (see _bwd_call).
+
+    mesh: a jax.sharding.Mesh with a ``data_axis`` — GSPMD cannot partition
+    Mosaic custom calls, so under a multi-device mesh the kernel is
+    dispatched through shard_map over the batch (one independent kernel per
+    device, no collectives in the stack; weight cotangents are psum'd by the
+    shard_map transpose)."""
     L = spec.layers
     k = spec.kernel_size
     R = spec.residual_channels
@@ -298,19 +305,26 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     dils = spec.dilations
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
+    n_dev = 1
+    if mesh is not None and data_axis in mesh.axis_names:
+        n_dev = mesh.shape[data_axis]
+    if B % n_dev:
+        raise ValueError(
+            f"fused_train: batch {B} not divisible by mesh data axis "
+            f"{n_dev}")
+    B_loc = B // n_dev
     # tuning escape hatches for benchmarking tile shapes; FUSED_BT/FUSED_TT
     # set both kernels, FUSED_BT_F/FUSED_TT_F override the forward's
     if Bt is None and _os.environ.get("FUSED_BT"):
         Bt = int(_os.environ["FUSED_BT"])
     if Tt is None and _os.environ.get("FUSED_TT"):
         Tt = int(_os.environ["FUSED_TT"])
-    Bt_b, Tt_b = pick_tiles(B, T, H, L, R, Bt, Tt)
+    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, Bt, Tt)
     bt_f = int(_os.environ["FUSED_BT_F"]) if (
         Bt is None and _os.environ.get("FUSED_BT_F")) else Bt
     tt_f = int(_os.environ["FUSED_TT_F"]) if (
         Tt is None and _os.environ.get("FUSED_TT_F")) else Tt
-    S_ = spec.skip_out_channels
-    Bt_f, Tt_f = pick_tiles_fwd(B, T, H, L, R, G, S_, cin, bt_f, tt_f)
+    Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
         folded_blocks, spec, dtype=dtype)
@@ -327,10 +341,25 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
             for bp in folded_blocks])
     else:
         gb = jnp.zeros((1, 1, 1), jnp.float32)
-    return _fused_vjp(x0, c_arr, gb, w_in, b_in, w_cond, w_og, b_og,
-                      L, k, R, G, S, (cin if c is not None else -1), has_g,
-                      dils, Bt_f, Tt_f, Bt_b, Tt_b,
-                      jnp.dtype(dtype).name, interpret)
+    statics = (L, k, R, G, S, (cin if c is not None else -1), has_g,
+               dils, Bt_f, Tt_f, Bt_b, Tt_b, jnp.dtype(dtype).name,
+               interpret)
+    if n_dev == 1:
+        return _fused_vjp(x0, c_arr, gb, w_in, b_in, w_cond, w_og, b_og,
+                          *statics)
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(x0_l, c_l, gb_l, *ws):
+        return _fused_vjp(x0_l, c_l, gb_l, *ws, *statics)
+
+    in_specs = (P(data_axis),
+                P(data_axis) if c is not None else P(),
+                P(None, data_axis) if has_g else P(),
+                P(), P(), P(), P(), P())
+    sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=P(data_axis), check_vma=False)
+    return sm(x0, c_arr, gb, w_in, b_in, w_cond, w_og, b_og)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=tuple(range(8, 22)))

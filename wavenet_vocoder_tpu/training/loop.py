@@ -191,7 +191,7 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
         state = shard_state(state, mesh)
         print(f"Training data-parallel over mesh {dict(mesh.shape)}")
 
-    train_step, eval_step = make_train_step(cfg, spec)
+    train_step, eval_step = make_train_step(cfg, spec, mesh=mesh)
     from wavenet_vocoder_tpu.training.train_state import sanity_check
     _checked = False
     writer = MetricWriter(log_event_path or

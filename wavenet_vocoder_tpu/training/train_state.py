@@ -178,7 +178,8 @@ def sanity_check(spec: WaveNetSpec, batch: Dict[str, Any]) -> None:
             f"cin_channels {spec.cin_channels}")
 
 
-def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None):
+def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None,
+                    mesh=None):
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
     batch dict:
@@ -187,6 +188,11 @@ def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None):
       c: (B, T_mel, C) local conditioning or None
       g: (B,) / (B, gin) global conditioning or None
       input_lengths: (B,) valid lengths of x
+
+    mesh: the training Mesh, required only when fused_train runs
+    multi-device — the fused Pallas stack dispatches via shard_map over the
+    mesh's data axis (GSPMD cannot partition Mosaic custom calls); all other
+    ops shard implicitly from the batch/param shardings.
     """
     spec = spec or spec_from_config(cfg)
     tx, schedule = make_optimizer(cfg)
@@ -194,11 +200,12 @@ def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None):
     dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
     ema_decay = cfg.ema_decay
     use_ema = cfg.exponential_moving_average
+    stack_mesh = mesh if spec.fused_train else None
 
     def loss_fn(params, batch, rng):
         y_hat = apply_wavenet(
             params, spec, batch["x"], c=batch.get("c"), g=batch.get("g"),
-            train=True, rng=rng, dtype=dtype)
+            train=True, rng=rng, dtype=dtype, mesh=stack_mesh)
         T = batch["x"].shape[1]
         # one-sample AR shift (reference: train.py:728-729, 742-748)
         mask = sequence_mask(batch["input_lengths"], T)[:, 1:]
