@@ -100,28 +100,54 @@ def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
     return bt, tt
 
 
-def _hash_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """Cheap integer mix (murmur3 finalizer) — used only if dropout is ever
-    added to the fused path; kept for reference."""
-    x = pltpu.bitcast(x, jnp.uint32)
-    x = x ^ (x >> 16)
-    x = x * np.uint32(0x7feb352d)
-    x = x ^ (x >> 15)
-    x = x * np.uint32(0x846ca68b)
-    x = x ^ (x >> 16)
+def _mix_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Integer mix (murmur3-style finalizer) on int32 with logical shifts —
+    wrapping int32 multiplies equal uint32 multiplies mod 2^32, so this is
+    a well-distributed 32-bit hash expressible in Mosaic-supported ops."""
+    srl = jax.lax.shift_right_logical
+    x = x ^ srl(x, 16)
+    x = x * np.int32(0x45d9f3b)
+    x = x ^ srl(x, 15)
+    x = x * np.int32(0x119de1f3)
+    x = x ^ srl(x, 16)
     return x
+
+
+def dropout_mask(seed: jnp.ndarray, *, Bt: int, E: int, R: int, L: int,
+                 l: int, b0, t0, tkey: int, keep: float) -> jnp.ndarray:
+    """Deterministic per-element dropout mask over a (Bt, E, R) tile.
+
+    Counter-based: keyed on ABSOLUTE (batch, time, layer, channel) indices,
+    so the forward and backward kernels reproduce identical masks on
+    different tile shapes/halos (t0 must be the absolute t-key of window
+    position 0 = tile_start - halo + H = ti*Tt for both kernels). `seed` is
+    an int32 scalar. Returns a f32 {0,1} mask; caller scales by 1/keep."""
+    i32 = jnp.int32
+    bi_ = jax.lax.broadcasted_iota(i32, (Bt, E, R), 0) + b0
+    ti_ = jax.lax.broadcasted_iota(i32, (Bt, E, R), 1) + t0
+    ri_ = jax.lax.broadcasted_iota(i32, (Bt, E, R), 2)
+    idx = ((bi_ * np.int32(tkey) + ti_) * np.int32(L)
+           + np.int32(l)) * np.int32(R) + ri_
+    u = _mix_bits(idx ^ seed)
+    # unsigned compare via the top 24 bits (non-negative after logical srl)
+    v = jax.lax.shift_right_logical(u, 8)
+    thresh = np.int32(min(int(keep * (1 << 24)), (1 << 24)))
+    return (v < thresh).astype(jnp.float32)
 
 
 def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
-                     Tt: int, dtype):
+                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0):
     G2 = G // 2
     has_c = cin > 0
+    has_drop = drop > 0.0
+    keep = 1.0 - drop
     pad = max((k - 1) * d for d in dils)
 
     def kernel(x0_ref,                      # (1, Bt, E, R)
                c_ref,                       # (1, Bt, E, cin) or (1,1,1,1)
                gb_ref,                      # (L, Bt, G) f32 or (1,1,1)
+               seed_ref,                    # (1, 1) int32 (SMEM)
                w_in_ref, b_in_ref,          # (L, k*R, G), (L, G)
                w_cond_ref,                  # (L, cin, G) or (1,1,1)
                w_og_ref, b_og_ref,          # (L, G2, R+S), (L, R+S)
@@ -137,17 +163,30 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         # zeros of x0 — recomputing layers there would give nonzero x_l
         # whenever biases (b_in/b_og) or global conditioning are nonzero.
         # Zero the halo after each layer for tile 0 to pin x_l[t<0] = 0.
+        bi = pl.program_id(0)
         ti = pl.program_id(1)
         Hh = E - Tt
         e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, E, 1), 1)
         halo_keep = jnp.where((e_idx >= Hh) | (ti != 0), 1.0, 0.0)
+        if has_drop:
+            seed = seed_ref[0, 0]
+            b0 = bi * Bt
+            t0 = ti * Tt                    # t-key of window position 0
 
         for l in range(L):
             d = dils[l]
             w_l = w_in_ref[l]               # (k*R, G)
+            if has_drop:
+                # dropout on the conv INPUT only; the residual passthrough
+                # uses the un-dropped x (reference: modules.py:126-128)
+                m = dropout_mask(seed, Bt=Bt, E=E, R=R, L=L, l=l,
+                                 b0=b0, t0=t0, tkey=tkey, keep=keep)
+                xd = (x * (m * (1.0 / keep))).astype(dtype)
+            else:
+                xd = x.astype(dtype)
             # left-pad once; tap j reads x[t - (k-1-j)*d] = xp[:, t + j*d]
             xp = jnp.concatenate(
-                [jnp.zeros((Bt, pad, R), dtype), x.astype(dtype)], axis=1)
+                [jnp.zeros((Bt, pad, R), dtype), xd], axis=1)
             bias = jnp.zeros((Bt, 1, G), jnp.float32) + b_in_ref[l]
             if has_g:
                 # global conditioning: time-constant per-(batch,layer) bias
@@ -181,10 +220,10 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
 
 @partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "has_g",
                                    "dils", "Bt", "Tt", "dtype_name",
-                                   "interpret"))
-def _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, *,
+                                   "interpret", "drop", "tkey"))
+def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *,
               L, k, R, G, S, cin, has_g, dils, Bt, Tt, dtype_name,
-              interpret=False):
+              interpret=False, drop=0.0, tkey=0):
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
@@ -206,7 +245,8 @@ def _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, *,
         ce = jnp.zeros((1, 1, 1, 1), dtype)
 
     kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
-                              dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype)
+                              dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype,
+                              drop=drop, tkey=tkey)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, Bt, E, R), lambda bi, ti: (ti, bi, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -220,6 +260,8 @@ def _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, *,
                if has_g else
                pl.BlockSpec((1, 1, 1), lambda bi, ti: (0, 0, 0),
                             memory_space=pltpu.VMEM))
+    seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.SMEM)
 
     compiler_params = None
     if not interpret:
@@ -230,7 +272,7 @@ def _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, *,
     skips = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
-        in_specs=[x_spec, c_spec, gb_spec,
+        in_specs=[x_spec, c_spec, gb_spec, seed_spec,
                   full(), full(), full(), full(), full()],
         out_specs=pl.BlockSpec((1, Bt, Tt, S),
                                lambda bi, ti: (ti, bi, 0, 0),
@@ -238,7 +280,7 @@ def _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, *,
         out_shape=jax.ShapeDtypeStruct((n_tt, B, Tt, S), jnp.float32),
         interpret=interpret,
         compiler_params=compiler_params,
-    )(x0e, ce, gb, w_in, b_in, w_cond, w_og, b_og)
+    )(x0e, ce, gb, seed, w_in, b_in, w_cond, w_og, b_og)
     # (n_tt, B, Tt, S) -> (B, T, S)
     skips = jnp.swapaxes(skips, 0, 1).reshape(B, T_pad, S)[:, :T]
     return skips
