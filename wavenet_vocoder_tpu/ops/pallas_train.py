@@ -404,11 +404,16 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     return sm(x0, c_arr, gb, w_in, b_in, w_cond, w_og, b_og)
 
 
+def _zero_seed():
+    # dropout off: the kernel still takes a (1, 1) int32 SMEM seed operand
+    return jnp.zeros((1, 1), jnp.int32)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=tuple(range(8, 22)))
 def _fused_vjp(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
                L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
                dtype_name, interpret):
-    return _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
+    return _fwd_call(x0, c, gb, _zero_seed(), w_in, b_in, w_cond, w_og, b_og,
                      L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                      dils=dils, Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
                      interpret=interpret)
@@ -417,7 +422,7 @@ def _fused_vjp(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
 def _fused_fwd(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
                L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
                dtype_name, interpret):
-    out = _fwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
+    out = _fwd_call(x0, c, gb, _zero_seed(), w_in, b_in, w_cond, w_og, b_og,
                     L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                     dils=dils, Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
                     interpret=interpret)
