@@ -301,9 +301,147 @@ def test_fused_train_step_sharded_matches_single():
                                    np.asarray(a), atol=2e-5)
 
 
-def test_fused_train_rejects_dropout():
+# ----------------------------------------------------------------------
+# dropout (reference applies dropout to each block's conv input,
+# modules.py:126-128; the fused kernels use a counter-based mask keyed on
+# absolute (batch, time, layer, channel) indices)
+# ----------------------------------------------------------------------
+def _xla_stack_masked(blocks, spec, x0, c, seed, drop):
+    """XLA oracle applying the kernel's OWN counter-based masks: conv input
+    dropped, residual passthrough un-dropped (reference: modules.py:126-128).
+    Absolute position t keys to t + H with tkey = T + H + 1 — must mirror
+    fused_res_stack's key derivation exactly."""
+    from wavenet_vocoder_tpu.models.layers import _gated, causal_conv, conv1x1
+    keep = 1.0 - drop
+    B, T, R = x0.shape
+    L = spec.layers
+    H = pt.stack_receptive(spec.dilations, spec.kernel_size)
+    tkey = T + H + 1
+    x = x0
+    skips = None
+    for l, (bp, d) in enumerate(zip(blocks, spec.dilations)):
+        m = pt.dropout_mask(jnp.asarray(seed, jnp.int32), Bt=B, E=T, R=R,
+                            L=L, l=l, b0=0, t0=H, tkey=tkey, keep=keep)
+        residual = x
+        xd = (x * (m * (1.0 / keep))).astype(x.dtype)
+        z = causal_conv(bp["conv"], xd, d)
+        h = _gated(z, bp, c, None)
+        s = conv1x1(bp["skip"], h)
+        x = (conv1x1(bp["out"], h) + residual) * math.sqrt(0.5)
+        skips = s if skips is None else skips + s
+    return skips
+
+
+SEED = jnp.full((1, 1), 1234, jnp.int32)
+
+
+@pytest.mark.parametrize("T,Tt", [(96, 32), (96, 96), (100, 32)])
+def test_fused_dropout_forward_matches_masked_xla(T, Tt):
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=T)
+    ref = np.asarray(_xla_stack_masked(blocks, spec, x0, c, SEED, 0.3))
+    got = np.asarray(pt.fused_res_stack(
+        x0, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=Tt,
+        dropout=0.3, seed=SEED, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_dropout_tile_shape_invariant():
+    """The mask is keyed on ABSOLUTE indices, so different (Bt, Tt) tilings
+    (different halos, different padding) must produce identical output."""
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=100)
+    outs = [np.asarray(pt.fused_res_stack(
+        x0, c, blocks, spec, dtype=jnp.float32, Bt=bt, Tt=tt,
+        dropout=0.4, seed=SEED, interpret=True))
+        for bt, tt in ((2, 32), (1, 64), (2, 128))]
+    np.testing.assert_allclose(outs[1], outs[0], atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs[2], outs[0], atol=2e-5, rtol=1e-5)
+
+
+def test_fused_dropout_gradients_match_masked_xla():
+    """fwd+bwd with dropout: grads wrt every weight, x0 and c must match the
+    masked-XLA oracle — the backward kernel regenerates the forward's exact
+    masks on its own (differently-haloed) tiles."""
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(7)
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def loss_xla(blocks, x0, c):
+        return jnp.sum(_xla_stack_masked(blocks, spec, x0, c, SEED, 0.3) * w)
+
+    def loss_fused(blocks, x0, c):
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
+            dropout=0.3, seed=SEED, interpret=True) * w)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(blocks, x0, c)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(blocks, x0, c)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+
+
+def test_fused_dropout_grad_tiles_differ_from_forward():
+    """Same grads when the backward tiles DIFFER from the forward's (the
+    mask keying must be tile-shape independent across the fwd/bwd pair)."""
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(8)
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def loss(tt):
+        def f(x0_):
+            return jnp.sum(pt.fused_res_stack(
+                x0_, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=tt,
+                dropout=0.3, seed=SEED, interpret=True) * w)
+        return f
+
+    g32 = jax.grad(loss(32))(x0)
+    g96 = jax.grad(loss(96))(x0)
+    np.testing.assert_allclose(np.asarray(g96), np.asarray(g32),
+                               atol=3e-4, rtol=2e-4)
+
+
+def test_dropout_mask_keep_rate():
+    """Statistical sanity: mean keep-rate ~= keep; two seeds decorrelate."""
+    m1 = np.asarray(pt.dropout_mask(jnp.int32(7), Bt=8, E=512, R=64, L=4,
+                                    l=1, b0=0, t0=0, tkey=1000, keep=0.7))
+    m2 = np.asarray(pt.dropout_mask(jnp.int32(8), Bt=8, E=512, R=64, L=4,
+                                    l=1, b0=0, t0=0, tkey=1000, keep=0.7))
+    assert abs(m1.mean() - 0.7) < 0.01, m1.mean()
+    assert abs(m2.mean() - 0.7) < 0.01, m2.mean()
+    # different seeds -> essentially independent masks
+    agree = (m1 == m2).mean()
+    assert abs(agree - (0.7 * 0.7 + 0.3 * 0.3)) < 0.02, agree
+
+
+def test_fused_train_step_with_dropout_runs():
+    """End-to-end: fused_train + dropout>0 (the reference WaveNet class
+    default is 0.05, wavenet.py:68) trains with finite loss and updates."""
     from wavenet_vocoder_tpu.config import Config
-    from wavenet_vocoder_tpu.models.wavenet import spec_from_config
-    cfg = Config(fused_train=True, dropout=0.05)
-    with pytest.raises(ValueError, match="dropout"):
-        spec_from_config(cfg)
+    from wavenet_vocoder_tpu.training.train_state import (
+        create_train_state, make_train_step)
+
+    cfg = Config(input_type="raw", quantize_channels=65536, out_channels=30,
+                 layers=4, stacks=2, residual_channels=16, gate_channels=32,
+                 skip_out_channels=24, cin_channels=8,
+                 upsample_conditional_features=False, dropout=0.05,
+                 compute_dtype="", lr_schedule="", fused_train=True)
+    rs = np.random.RandomState(0)
+    B, T = 2, 96
+    x = rs.uniform(-0.5, 0.5, (B, T, 1)).astype(np.float32)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(x.copy()),
+             "c": jnp.asarray(rs.randn(B, T, 8).astype(np.float32)),
+             "input_lengths": jnp.asarray([T, T], jnp.int32)}
+    state = create_train_state(cfg)
+    step, _ = make_train_step(cfg)
+    p0 = jax.tree.leaves(state.params)[0]
+    for _ in range(2):
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]),
+                           np.asarray(p0))

@@ -143,11 +143,6 @@ def spec_from_config(cfg: Config) -> WaveNetSpec:
         remat_policy=cfg.remat_policy,
         fused_train=cfg.fused_train,
     )
-    if spec.fused_train and cfg.dropout > 0:
-        raise ValueError(
-            "fused_train requires dropout=0 (the fused kernel does not "
-            "implement dropout; the reference default is dropout=0.0, "
-            "hparams.py:64); set dropout=0.0 or fused_train=false")
     return spec
 
 
@@ -278,10 +273,22 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
             {name: (remove_weight_norm(p) if "v" in p else p)
              for name, p in bp.items()}
             for bp in params["blocks"]]
+        drop = spec.dropout if train else 0.0
+        seed = None
+        if drop > 0:
+            if rng is None:
+                drop = 0.0
+            else:
+                # one int32 seed per step; the kernel's counter-based mask
+                # derives per-(b, t, layer, channel) bits from it
+                seed = jax.random.randint(
+                    rng, (1, 1), minval=jnp.iinfo(jnp.int32).min,
+                    maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         skips = fused_res_stack(
             x, c, folded_blocks, spec,
             g=None if g_vec is None else g_vec.astype(jnp.float32),
             dtype=(dtype or jnp.float32), mesh=mesh,
+            dropout=drop, seed=seed,
             interpret=jax.default_backend() not in ("tpu", "axon"))
         skips = skips * math.sqrt(1.0 / spec.layers)
         out = jax.nn.relu(skips.astype(dtype) if dtype else skips)

@@ -26,14 +26,17 @@ recomputed per tile (flash-attention-style), dz walks the layers top-down,
 dW/dc accumulate masked to each tile's home region so boundary-spanning
 contributions are counted exactly once. See _bwd kernel.
 
-Scope: local conditioning optional, no global conditioning, dropout=0
-(the caller falls back to the XLA path otherwise).
+Scope: local and global conditioning optional; dropout supported end-to-end
+via a counter-based mask keyed on absolute (batch, time, layer, channel)
+indices, reproduced exactly by the backward kernel (reference applies
+dropout to each block's conv input: modules.py:126-128).
 
 Reference semantics being fused: modules.py:115-163 (ResidualConv1dGLU),
 wavenet.py:187-205 (layer loop + skip scaling).
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -45,6 +48,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _SQRT_HALF = math.sqrt(0.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedStatics:
+    """All static (shape/config) arguments of the fused stack, bundled so the
+    forward call, backward call, and the custom-VJP plumbing share ONE
+    signature — a new static is added here once instead of threading a 15th
+    positional through four call sites. Hashable -> jit-static."""
+    L: int
+    k: int
+    R: int
+    G: int
+    S: int
+    cin: int
+    has_g: bool
+    dils: Tuple[int, ...]
+    Bt_f: int
+    Tt_f: int
+    Bt_b: int
+    Tt_b: int
+    dtype_name: str
+    interpret: bool = False
+    drop: float = 0.0
+    tkey: int = 0
 
 
 def stack_receptive(dilations: Tuple[int, ...], k: int) -> int:
@@ -218,12 +245,13 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "has_g",
-                                   "dils", "Bt", "Tt", "dtype_name",
-                                   "interpret", "drop", "tkey"))
-def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *,
-              L, k, R, G, S, cin, has_g, dils, Bt, Tt, dtype_name,
-              interpret=False, drop=0.0, tkey=0):
+@partial(jax.jit, static_argnames=("st",))
+def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st):
+    L, k, R, G, S = st.L, st.k, st.R, st.G, st.S
+    cin, has_g, dils = st.cin, st.has_g, st.dils
+    Bt, Tt = st.Bt_f, st.Tt_f
+    dtype_name, interpret = st.dtype_name, st.interpret
+    drop, tkey = st.drop, st.tkey
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
@@ -323,7 +351,9 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
                     dtype=jnp.bfloat16,
                     Bt: Optional[int] = None, Tt: Optional[int] = None,
                     interpret: bool = False,
-                    mesh=None, data_axis: str = "data") -> jnp.ndarray:
+                    mesh=None, data_axis: str = "data",
+                    dropout: float = 0.0,
+                    seed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Run the whole residual stack fused; returns skips (B, T, S) f32.
 
     x0: (B, T, R) output of first_conv; c: (B, T, cin) sample-rate
@@ -333,11 +363,18 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     stack below). Gradients flow through a custom VJP with a fused backward
     kernel (see _bwd_call).
 
+    dropout/seed: conv-input dropout inside every residual block (reference:
+    modules.py:126-128). The mask is counter-based, keyed on ABSOLUTE
+    (batch, time, layer, channel) indices from ``seed`` (a (1,1) int32
+    array, one per step), so the forward and backward kernels reproduce
+    identical masks on different tile shapes. dropout > 0 requires a seed.
+
     mesh: a jax.sharding.Mesh with a ``data_axis`` — GSPMD cannot partition
     Mosaic custom calls, so under a multi-device mesh the kernel is
     dispatched through shard_map over the batch (one independent kernel per
     device, no collectives in the stack; weight cotangents are psum'd by the
-    shard_map transpose)."""
+    shard_map transpose). The dropout seed is decorrelated per device by
+    folding in the data-axis index."""
     L = spec.layers
     k = spec.kernel_size
     R = spec.residual_channels
@@ -355,17 +392,21 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
             f"fused_train: batch {B} not divisible by mesh data axis "
             f"{n_dev}")
     B_loc = B // n_dev
+
     # tuning escape hatches for benchmarking tile shapes; FUSED_BT/FUSED_TT
-    # set both kernels, FUSED_BT_F/FUSED_TT_F override the forward's
-    if Bt is None and _os.environ.get("FUSED_BT"):
-        Bt = int(_os.environ["FUSED_BT"])
-    if Tt is None and _os.environ.get("FUSED_TT"):
-        Tt = int(_os.environ["FUSED_TT"])
-    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, Bt, Tt)
-    bt_f = int(_os.environ["FUSED_BT_F"]) if (
-        Bt is None and _os.environ.get("FUSED_BT_F")) else Bt
-    tt_f = int(_os.environ["FUSED_TT_F"]) if (
-        Tt is None and _os.environ.get("FUSED_TT_F")) else Tt
+    # set both kernels, FUSED_BT_F/FUSED_TT_F override the forward's.
+    # Caller-passed Bt/Tt beat every env knob; resolved against the
+    # ORIGINAL caller values so the _F overrides still apply when FUSED_BT/
+    # FUSED_TT are also set (ADVICE r3).
+    def _env(name):
+        v = _os.environ.get(name)
+        return int(v) if v else None
+
+    bt_b = Bt if Bt is not None else _env("FUSED_BT")
+    tt_b = Tt if Tt is not None else _env("FUSED_TT")
+    bt_f = Bt if Bt is not None else (_env("FUSED_BT_F") or _env("FUSED_BT"))
+    tt_f = Tt if Tt is not None else (_env("FUSED_TT_F") or _env("FUSED_TT"))
+    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b)
     Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
@@ -383,61 +424,63 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
             for bp in folded_blocks])
     else:
         gb = jnp.zeros((1, 1, 1), jnp.float32)
-    statics = (L, k, R, G, S, (cin if c is not None else -1), has_g,
-               dils, Bt_f, Tt_f, Bt_b, Tt_b, jnp.dtype(dtype).name,
-               interpret)
+    drop = float(dropout)
+    if drop > 0.0 and seed is None:
+        raise ValueError("fused_res_stack: dropout > 0 requires a seed")
+    seed_arr = (seed.reshape(1, 1).astype(jnp.int32) if seed is not None
+                else jnp.zeros((1, 1), jnp.int32))
+    # key stride for the absolute-time term. Valid positions key to
+    # t + H in [0, T + H); padded-region keys may alias other rows but
+    # padded outputs are sliced off and padded dz is identically zero, so
+    # only valid keys need be collision-free. Crucially this is
+    # TILE-INDEPENDENT: the same (seed, t, l, r) gives the same mask bit
+    # for any (Bt, Tt) choice — fwd and bwd may tile differently.
+    tkey = T + H + 1
+    st = FusedStatics(L=L, k=k, R=R, G=G, S=S,
+                      cin=(cin if c is not None else -1), has_g=has_g,
+                      dils=dils, Bt_f=Bt_f, Tt_f=Tt_f, Bt_b=Bt_b, Tt_b=Tt_b,
+                      dtype_name=jnp.dtype(dtype).name, interpret=interpret,
+                      drop=drop, tkey=tkey)
     if n_dev == 1:
-        return _fused_vjp(x0, c_arr, gb, w_in, b_in, w_cond, w_og, b_og,
-                          *statics)
+        return _fused_vjp(x0, c_arr, gb, seed_arr,
+                          w_in, b_in, w_cond, w_og, b_og, st)
 
     from jax.sharding import PartitionSpec as P
 
-    def body(x0_l, c_l, gb_l, *ws):
-        return _fused_vjp(x0_l, c_l, gb_l, *ws, *statics)
+    def body(x0_l, c_l, gb_l, seed_l, *ws):
+        # per-device mask decorrelation: shard_map sees LOCAL batch indices,
+        # so fold the device's data-axis position into the seed
+        seed_l = seed_l + jax.lax.axis_index(data_axis).astype(jnp.int32)
+        return _fused_vjp(x0_l, c_l, gb_l, seed_l, *ws, st)
 
     in_specs = (P(data_axis),
                 P(data_axis) if c is not None else P(),
                 P(None, data_axis) if has_g else P(),
+                P(),
                 P(), P(), P(), P(), P())
     sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                        out_specs=P(data_axis), check_vma=False)
-    return sm(x0, c_arr, gb, w_in, b_in, w_cond, w_og, b_og)
+    return sm(x0, c_arr, gb, seed_arr, w_in, b_in, w_cond, w_og, b_og)
 
 
-def _zero_seed():
-    # dropout off: the kernel still takes a (1, 1) int32 SMEM seed operand
-    return jnp.zeros((1, 1), jnp.int32)
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _fused_vjp(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st):
+    return _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st=st)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=tuple(range(8, 22)))
-def _fused_vjp(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
-               L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
-               dtype_name, interpret):
-    return _fwd_call(x0, c, gb, _zero_seed(), w_in, b_in, w_cond, w_og, b_og,
-                     L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
-                     dils=dils, Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
-                     interpret=interpret)
+def _fused_fwd(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st):
+    out = _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st=st)
+    return out, (x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og)
 
 
-def _fused_fwd(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
-               L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
-               dtype_name, interpret):
-    out = _fwd_call(x0, c, gb, _zero_seed(), w_in, b_in, w_cond, w_og, b_og,
-                    L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
-                    dils=dils, Bt=Bt_f, Tt=Tt_f, dtype_name=dtype_name,
-                    interpret=interpret)
-    return out, (x0, c, gb, w_in, b_in, w_cond, w_og, b_og)
-
-
-def _fused_bwd(L, k, R, G, S, cin, has_g, dils, Bt_f, Tt_f, Bt_b, Tt_b,
-               dtype_name, interpret, res, dskips):
-    x0, c, gb, w_in, b_in, w_cond, w_og, b_og = res
-    grads = _bwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og,
-                      dskips.astype(jnp.float32),
-                      L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
-                      dils=dils, Bt=Bt_b, Tt=Tt_b, dtype_name=dtype_name,
-                      interpret=interpret)
-    return grads
+def _fused_bwd(st, res, dskips):
+    x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og = res
+    grads = _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og,
+                      dskips.astype(jnp.float32), st=st)
+    # seed is integer-typed: its cotangent is a float0 zero
+    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    dx0, dc, dgb, dw_in, db_in, dw_cond, dw_og, db_og = grads
+    return (dx0, dc, dgb, dseed, dw_in, db_in, dw_cond, dw_og, db_og)
 
 
 _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
@@ -448,14 +491,24 @@ _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 # ----------------------------------------------------------------------
 def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
-                     Tt: int, dtype):
+                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0):
     """Per (bt, tt) tile: recompute the x_l chain on a DOUBLE-extended
     window [t0-H, t0+Tt+H), walk layers top-down computing dz, propagate
     dx via the transposed dilated conv (needs the RIGHT halo), accumulate
     dW/dc masked to the home region [t0, t0+Tt) so every position is
-    counted exactly once across tiles."""
+    counted exactly once across tiles.
+
+    Dropout: the forward drops each layer's conv INPUT (not the residual
+    passthrough). Here the identical counter-based mask (same absolute
+    (b, t, l, r) keys as the forward — window position 0 keys to
+    ti*Tt - H + H = ti*Tt on both kernels despite different halos) is
+    re-applied in the phase-1 recompute and in phase-2: dW_in contracts
+    against the DROPPED taps, and the transposed-conv dx contribution is
+    masked by m/keep (d(x*m/keep)/dx)."""
     G2 = G // 2
     has_c = cin > 0
+    has_drop = drop > 0.0
+    keep = 1.0 - drop
     pad = max((k - 1) * d for d in dils)
 
     def kernel(x0_ref,                       # (1, Bt, E, R)  E = Tt + 2H
@@ -463,6 +516,7 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                gb_ref,                       # (L, Bt, G) f32 or (1,1,1)
                dsk_ref,                      # (1, Bt, E, S) f32 (zero pad)
                hm_ref,                       # (1, 1, E, 1) f32 home mask
+               seed_ref,                     # (1, 1) int32 (SMEM)
                w_in_ref, b_in_ref, w_cond_ref, w_og_ref, b_og_ref,
                dx0_ref,                      # out (1, Bt, Tt, R) f32
                dc_ref,                       # out (1, Bt, Tt, cin)|dummy f32
@@ -496,11 +550,29 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             ct_m = (c_ref[0].astype(jnp.float32) * hm).astype(dtype) \
                 .reshape(Bt * E, cin)
 
-        def in_proj(xf, l):
-            """z (Bt*E, G) from x_l f32 (Bt, E, R)."""
+        if has_drop:
+            seed = seed_ref[0, 0]
+            b0 = pl.program_id(0) * Bt
+            t0 = pl.program_id(1) * Tt       # abs-key of window position 0
+
+        def layer_mask(l):
+            """The forward's dropout mask (f32 {0,1}) for layer l, or None."""
+            if not has_drop:
+                return None
+            return dropout_mask(seed, Bt=Bt, E=E, R=R, L=L, l=l,
+                                b0=b0, t0=t0, tkey=tkey, keep=keep)
+
+        def dropped(xf, m):
+            """Layer l's conv input from the UN-dropped x_l (f32)."""
+            return xf if m is None else xf * (m * (1.0 / keep))
+
+        def in_proj(xf, l, m=None):
+            """z (Bt*E, G) from UN-dropped x_l f32 (Bt, E, R); m = layer
+            dropout mask (applied to the conv input, as the forward does)."""
             w_l = w_in_ref[l]
             xp = jnp.concatenate(
-                [jnp.zeros((Bt, pad, R), dtype), xf.astype(dtype)], axis=1)
+                [jnp.zeros((Bt, pad, R), dtype),
+                 dropped(xf, m).astype(dtype)], axis=1)
             bias = jnp.zeros((Bt, 1, G), jnp.float32) + b_in_ref[l]
             if has_g:
                 bias = bias + gb_ref[l][:, None, :]
@@ -528,7 +600,7 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         x = x0_ref[0].astype(jnp.float32)
         for l in range(L):
             xs_ref[l] = x.astype(xs_ref.dtype)
-            z = in_proj(x, l)
+            z = in_proj(x, l, layer_mask(l))
             a, b = z[:, :G2], z[:, G2:]
             gated = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dtype)
             y = jnp.dot(gated, w_og_ref[l][:, :R],
@@ -544,7 +616,8 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         dc_acc = (jnp.zeros((Bt * E, cin), jnp.float32) if has_c else None)
         for l in range(L - 1, -1, -1):
             xl = xs_ref[l].astype(jnp.float32)          # (Bt, E, R)
-            z = in_proj(xl, l)
+            m_l = layer_mask(l)
+            z = in_proj(xl, l, m_l)
             a, b = z[:, :G2], z[:, G2:]
             ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
             gated = (ta * sb).astype(dtype)
@@ -565,7 +638,8 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             dz_m = (dz.reshape(Bt, E, G) * hm).reshape(Bt * E, G)
             dz_md = dz_m.astype(dtype)
             xp = jnp.concatenate(
-                [jnp.zeros((Bt, pad, R), dtype), xl.astype(dtype)], axis=1)
+                [jnp.zeros((Bt, pad, R), dtype),
+                 dropped(xl, m_l).astype(dtype)], axis=1)
             for j in range(k):
                 off = pad - (k - 1 - j) * dils[l]
                 tap = xp[:, off:off + E].reshape(Bt * E, R)
@@ -601,7 +675,11 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                 dtap = dzp[:, sh:sh + E].reshape(Bt * E, G)
                 dxin = dxin + jnp.dot(dtap, w_l[j * R:(j + 1) * R].T,
                                       preferred_element_type=jnp.float32)
-            dx = dy_out + dxin.reshape(Bt, E, R)
+            dxin3 = dxin.reshape(Bt, E, R)
+            if m_l is not None:
+                # the conv consumed x*m/keep: chain through the mask
+                dxin3 = dxin3 * (m_l * (1.0 / keep))
+            dx = dy_out + dxin3
 
         H = (E - Tt) // 2
         dx0_ref[0] = dx[:, H:H + Tt]
@@ -611,12 +689,13 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("L", "k", "R", "G", "S", "cin", "has_g",
-                                   "dils", "Bt", "Tt", "dtype_name",
-                                   "interpret"))
-def _bwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, dskips, *,
-              L, k, R, G, S, cin, has_g, dils, Bt, Tt, dtype_name,
-              interpret=False):
+@partial(jax.jit, static_argnames=("st",))
+def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, dskips, *,
+              st):
+    L, k, R, G, S = st.L, st.k, st.R, st.G, st.S
+    cin, has_g, dils = st.cin, st.has_g, st.dils
+    Bt, Tt = st.Bt_b, st.Tt_b
+    dtype_name, interpret = st.dtype_name, st.interpret
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
@@ -641,8 +720,11 @@ def _bwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, dskips, *,
     hm = jnp.zeros((1, 1, E, 1), jnp.float32).at[:, :, H:H + Tt].set(1.0)
 
     kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
-                              dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype)
+                              dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype,
+                              drop=st.drop, tkey=st.tkey)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+                             memory_space=pltpu.SMEM)
 
     def tile_spec(C):
         return pl.BlockSpec((1, Bt, E, C), lambda bi, ti: (ti, bi, 0, 0),
@@ -700,14 +782,14 @@ def _bwd_call(x0, c, gb, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         kernel,
         grid=(n_bt, n_tt),
         in_specs=[tile_spec(R), c_spec, gb_spec, tile_spec(S),
-                  acc((1, 1, E, 1)),
+                  acc((1, 1, E, 1)), seed_spec,
                   full(), full(), full(), full(), full()],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((L, Bt, E, R), dtype)],
         interpret=interpret,
         compiler_params=compiler_params,
-    )(x0e, ce, gb, dske, hm, w_in, b_in, w_cond, w_og, b_og)
+    )(x0e, ce, gb, dske, hm, seed, w_in, b_in, w_cond, w_og, b_og)
 
     dx0t, dct, dgb, dw_in, db_in, dw_cond, dw_og, db_og = outs
     dx0 = jnp.swapaxes(dx0t, 0, 1).reshape(B, T_pad, R)[:, :T]
