@@ -275,6 +275,11 @@ def main():
     # B=384: 105, B=512: 110 (both pathological). chunk=256 beats 64/128/512
     # at B>=128. (Reference recipes use batch 32, run.sh:31.)
     B = int(os.environ.get("BENCH_BATCH", 256))
+    # second measurement: the largest batch sustaining >=1x per-stream
+    # realtime (BASELINE.json's target is per-utterance realtime; B=256
+    # maximizes aggregate throughput but runs each stream at ~0.8x).
+    # Measured on v5e-1: B=128 -> ~1.6x/stream. BENCH_RT_BATCH=0 disables.
+    B_rt = int(os.environ.get("BENCH_RT_BATCH", 128))
     seconds = float(os.environ.get("BENCH_SECONDS", 1.0))
     hop = cfg.hop_size
     frames = int(seconds * cfg.sample_rate) // hop
@@ -310,31 +315,47 @@ def main():
         print(f"# pallas vmem estimate: {est / 2**20:.1f} MiB "
               f"(B={B}, chunk={chunk})", file=sys.stderr)
 
-        def run(key):
-            s = gen(key, c=c, log_scale_min=cfg.log_scale_min)
+        def run(key, c_arr):
+            s = gen(key, c=c_arr, log_scale_min=cfg.log_scale_min)
             # NOTE: force a real device->host transfer. Under the axon relay,
             # block_until_ready() returns before execution completes, giving
             # fantasy timings; np.asarray round-trips actual values.
             return np.asarray(s)[..., None]
     else:
-        def run(key):
-            out = generate(params, spec, key, c=c, output="samples",
+        def run(key, c_arr):
+            out = generate(params, spec, key, c=c_arr, output="samples",
                            log_scale_min=cfg.log_scale_min)
             return np.asarray(out["samples"])
 
-    # compile + warm up
-    run(jax.random.PRNGKey(0))
-
     n_iters = int(os.environ.get("BENCH_ITERS", 3))
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        s = run(jax.random.PRNGKey(i + 1))
-    assert np.isfinite(s).all() and s.std() > 0.01, "degenerate output"
-    dt = (time.perf_counter() - t0) / n_iters
 
+    def measure(c_arr):
+        run(jax.random.PRNGKey(0), c_arr)  # compile + warm up
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            s = run(jax.random.PRNGKey(i + 1), c_arr)
+        assert np.isfinite(s).all() and s.std() > 0.01, "degenerate output"
+        return (time.perf_counter() - t0) / n_iters
+
+    dt = measure(c)
     audio_seconds = B * T / cfg.sample_rate
     value = audio_seconds / dt
     baseline = 1.0  # 1x real-time per chip
+
+    # Both ends of the throughput/latency trade in one record (BASELINE.json
+    # north star is >=1x PER-UTTERANCE realtime; the headline batch
+    # maximizes aggregate throughput at <1x/stream)
+    rt_detail = None
+    if B_rt and B_rt != B:
+        mel_rt = (mel[:B_rt] if B_rt <= B else
+                  rs.randn(B_rt, frames, cfg.num_mels).astype(np.float32))
+        c_rt = jnp.asarray(pad_mel_context(mel_rt, cfg.cin_pad))
+        dt_rt = measure(c_rt)
+        rt_detail = {
+            "batch": B_rt,
+            "audio_sec_per_sec": round(B_rt * T / cfg.sample_rate / dt_rt, 2),
+            "per_stream_realtime_x": round(T / cfg.sample_rate / dt_rt, 2),
+        }
     print(json.dumps({
         "metric": "batched_synthesis_audio_sec_per_sec_per_chip",
         "value": round(value, 4),
@@ -345,6 +366,7 @@ def main():
             "samples_per_sec": round(B * T / dt, 1),
             "per_stream_realtime_x": round(T / cfg.sample_rate / dt, 2),
             "wall_s_per_iter": round(dt, 3),
+            "realtime_batch": rt_detail,
             "model": {"flagship": "24L/4S MoL 128/256/128",
                       "30L3S": "30L/3S MoL 128/256/128 (rf 6139)",
                       "512ch": "24L/4S MoL 512/512/256"}[model_name],

@@ -46,14 +46,14 @@ def dominant_f0(x: np.ndarray, sr: int) -> float:
     return float(freqs[lo][np.argmax(spec[lo])])
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--sr", type=int, default=16000)
     ap.add_argument("--head", default="mulaw256",
                     choices=("mulaw256", "mol", "gaussian"))
     ap.add_argument("--lr", type=float, default=5e-4)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     try:
         jax.config.update("jax_compilation_cache_dir",

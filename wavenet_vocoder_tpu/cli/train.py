@@ -29,11 +29,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-train-steps", type=int, default=None)
     p.add_argument("--no-mesh", action="store_true",
                    help="disable multi-device data parallelism")
+    # multi-host bring-up (SURVEY.md sections 2.4/5.8: DCN across hosts —
+    # the TPU equivalent of the reference's DataParallel, train.py:676-689).
+    # On TPU pods --distributed alone autodetects everything; off-TPU pass
+    # all three explicit flags.
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-host cluster "
+                        "(jax.distributed.initialize autodetect)")
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (implies --distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if args.distributed or args.coordinator_address is not None:
+        from wavenet_vocoder_tpu.parallel import initialize_distributed
+        pid, n = initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+        print(f"distributed: process {pid}/{n}")
     cfg = load_config(args.preset, args.hparams)
     print(config_debug_string(cfg))
     train_loop(

@@ -146,6 +146,20 @@ class WaveNetDataset:
             raise ValueError(f"No usable utterances under {data_root}")
         self.utterances = utts
 
+    def shard(self, process_id: int, num_processes: int) -> "WaveNetDataset":
+        """Disjoint per-process corpus slice for multi-host data parallelism
+        (every num_processes-th utterance). Returns self when single-process."""
+        if num_processes <= 1:
+            return self
+        import copy
+        out = copy.copy(self)
+        out.utterances = self.utterances[process_id::num_processes]
+        if not out.utterances:
+            raise ValueError(
+                f"process {process_id}/{num_processes} got an empty corpus "
+                f"shard ({len(self.utterances)} utterances total)")
+        return out
+
     def __len__(self) -> int:
         return len(self.utterances)
 

@@ -5,3 +5,10 @@ from wavenet_vocoder_tpu.parallel.sharding import (  # noqa: F401
     shard_batch,
     shard_state,
 )
+from wavenet_vocoder_tpu.parallel.distributed import (  # noqa: F401
+    global_batch_from_local,
+    initialize_distributed,
+    is_primary,
+    local_batch_size,
+    replicate_global,
+)

@@ -33,9 +33,16 @@ class MetricWriter:
     """TensorBoard if torch is importable, else JSONL
     (reference: train.py:771-775 tensorboardX scalars)."""
 
-    def __init__(self, log_dir: str):
-        os.makedirs(log_dir, exist_ok=True)
+    def __init__(self, log_dir: str, enabled: bool = True):
+        # enabled=False on non-primary processes of a multi-host run: the
+        # scalar() calls still happen (the loss fetch doubles as a device
+        # sync) but nothing is written
+        self._enabled = enabled
         self._tb = None
+        self._jsonl = None
+        if not enabled:
+            return
+        os.makedirs(log_dir, exist_ok=True)
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir)
@@ -44,6 +51,8 @@ class MetricWriter:
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self._enabled:
+            return
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
         self._jsonl.write(json.dumps(
@@ -52,20 +61,28 @@ class MetricWriter:
     def flush(self) -> None:
         if self._tb is not None:
             self._tb.flush()
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
 
     def close(self) -> None:
         self.flush()
         if self._tb is not None:
             self._tb.close()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
 
 
 def get_data_loaders(data_root: str, cfg: Config,
-                     speaker_id: Optional[int] = None
+                     speaker_id: Optional[int] = None,
+                     batch_size: Optional[int] = None,
+                     process_shard: Optional[tuple] = None
                      ) -> Dict[str, DataLoader]:
     """Loaders for the {train_no_dev, dev} dump layout
-    (reference: train.py:973-1032)."""
+    (reference: train.py:973-1032).
+
+    process_shard: (process_id, num_processes) for multi-host training —
+    each process loads a disjoint corpus slice and batches
+    ``batch_size`` = global batch / num_processes rows."""
     loaders = {}
     for phase in ("train_no_dev", "dev"):
         d = os.path.join(data_root, phase)
@@ -77,7 +94,10 @@ def get_data_loaders(data_root: str, cfg: Config,
                 continue
         train = phase == "train_no_dev"
         ds = WaveNetDataset(d, cfg, speaker_id=speaker_id, train=train)
-        loaders[phase] = DataLoader(ds, cfg, shuffle=train,
+        if process_shard is not None:
+            ds = ds.shard(*process_shard)
+        loaders[phase] = DataLoader(ds, cfg, batch_size=batch_size,
+                                    shuffle=train,
                                     seed=cfg.seed, static_shapes=True)
     return loaders
 
@@ -88,6 +108,9 @@ def save_eval_audio(state: TrainState, cfg: Config, batch: Dict[str, Any],
     wavs (reference: eval_model, train.py:555-623)."""
     os.makedirs(out_dir, exist_ok=True)
     params = state.ema_params if state.ema_params is not None else state.params
+    # host copies: replicated multi-host global arrays can't feed the
+    # single-process generation jit directly
+    params = jax.device_get(params)
     spec = spec_from_config(cfg)
     c = batch.get("c")
     g = batch.get("g")
@@ -131,8 +154,8 @@ def save_states(state: TrainState, cfg: Config, batch: Dict[str, Any],
     spec = spec_from_config(cfg)
     one = {k: None if v is None else jnp.asarray(np.asarray(v[:1]))
            for k, v in batch.items()}
-    y_hat = apply_wavenet(state.params, spec, one["x"], c=one.get("c"),
-                          g=one.get("g"))
+    y_hat = apply_wavenet(jax.device_get(state.params), spec, one["x"],
+                          c=one.get("c"), g=one.get("g"))
     mu = cfg.quantize_channels - 1
     if cfg.is_mulaw_quantize:
         codes = np.argmax(np.asarray(y_hat[0]), axis=-1)
@@ -159,17 +182,35 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                max_steps_override: Optional[int] = None,
                use_mesh: bool = True,
                log_interval: int = 10) -> TrainState:
-    """Full training entry (reference: train.py:1035-1114)."""
+    """Full training entry (reference: train.py:1035-1114).
+
+    Multi-host: when ``jax.process_count() > 1`` (the CLI ran
+    ``initialize_distributed`` first) each process loads a disjoint corpus
+    slice, feeds cfg.batch_size // num_processes local rows per step, and
+    the global batch is assembled as one sharded jax.Array; checkpoints,
+    metrics and eval artifacts are written by process 0 only."""
+    from wavenet_vocoder_tpu.parallel import distributed as dist
+    n_proc = jax.process_count()
+    primary = dist.is_primary()
+
     os.makedirs(checkpoint_dir, exist_ok=True)
-    # dump effective config next to checkpoints (reference: train.py:1065-1067)
-    with open(os.path.join(checkpoint_dir, "hparams.json"), "w") as f:
-        f.write(cfg.to_json(indent=2))
+    if primary:
+        # dump effective config next to checkpoints
+        # (reference: train.py:1065-1067)
+        with open(os.path.join(checkpoint_dir, "hparams.json"), "w") as f:
+            f.write(cfg.to_json(indent=2))
 
     spec = spec_from_config(cfg)
     print(f"Receptive field: {spec.receptive_field} samples "
           f"({spec.receptive_field / cfg.sample_rate * 1000:.1f} ms)")
 
-    loaders = get_data_loaders(data_root, cfg, speaker_id)
+    if n_proc > 1:
+        loaders = get_data_loaders(
+            data_root, cfg, speaker_id,
+            batch_size=dist.local_batch_size(cfg.batch_size),
+            process_shard=(jax.process_index(), n_proc))
+    else:
+        loaders = get_data_loaders(data_root, cfg, speaker_id)
     state = create_train_state(cfg)
 
     global_step = 0
@@ -188,14 +229,21 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
     mesh = None
     if use_mesh and jax.device_count() > 1:
         mesh = make_mesh(cfg.mesh_axes)
-        state = shard_state(state, mesh)
-        print(f"Training data-parallel over mesh {dict(mesh.shape)}")
+        # multi-host meshes need the replicated leaves built through the
+        # process-local constructor (device_put can't span hosts)
+        state = (dist.replicate_global(state, mesh) if n_proc > 1
+                 else shard_state(state, mesh))
+        print(f"Training data-parallel over mesh {dict(mesh.shape)} "
+              f"({n_proc} process{'es' if n_proc > 1 else ''})")
+    elif n_proc > 1:
+        raise ValueError("multi-process training requires use_mesh=True")
 
     train_step, eval_step = make_train_step(cfg, spec, mesh=mesh)
     from wavenet_vocoder_tpu.training.train_state import sanity_check
     _checked = False
     writer = MetricWriter(log_event_path or
-                          os.path.join(checkpoint_dir, "log"))
+                          os.path.join(checkpoint_dir, "log"),
+                          enabled=primary)
     rng = jax.random.PRNGKey(cfg.seed)
     max_steps = max_steps_override or cfg.max_train_steps
 
@@ -217,8 +265,22 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                 test_evaluated = False
                 # overlap host collate + H2D with device compute: the next
                 # batch is device_put while the current step executes
-                put = ((lambda b: shard_batch(b, mesh)) if mesh is not None
-                       else jax.device_put)
+                if n_proc > 1:
+                    base_put = lambda b: dist.global_batch_from_local(b, mesh)
+                elif mesh is not None:
+                    base_put = lambda b: shard_batch(b, mesh)
+                else:
+                    base_put = jax.device_put
+                # keep a host copy of a recent batch for eval-artifact dumps
+                # (multi-host global arrays can't be sliced back on one
+                # process; any recent batch serves — the reference picks a
+                # random batch item anyway, train.py:563)
+                host_batch = {}
+
+                def put(b, _put=base_put):
+                    host_batch["b"] = b
+                    return _put(b)
+
                 for batch in prefetch_to_device(loader, put=put):
                     if not _checked:
                         sanity_check(spec, jax.device_get(batch))
@@ -244,19 +306,23 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                                           time.time() - t0, global_step)
                         else:
                             loss = None
-                        if global_step % cfg.checkpoint_interval == 0:
+                        if (primary
+                                and global_step % cfg.checkpoint_interval
+                                == 0):
                             ckpt_lib.save_checkpoint(
                                 checkpoint_dir, state,
                                 global_step=global_step,
                                 global_epoch=global_epoch,
                                 global_test_step=global_test_step,
                                 save_optimizer_state=cfg.save_optimizer_state)
-                        if global_step % cfg.train_eval_interval == 0:
-                            save_eval_audio(state, cfg, batch, eval_dir,
-                                            global_step,
+                        if (primary
+                                and global_step % cfg.train_eval_interval
+                                == 0):
+                            save_eval_audio(state, cfg, host_batch["b"],
+                                            eval_dir, global_step,
                                             _eval_rng(1, global_step))
-                            save_states(state, cfg, batch, eval_dir,
-                                        global_step,
+                            save_states(state, cfg, host_batch["b"],
+                                        eval_dir, global_step,
                                         _eval_rng(2, global_step))
                         if global_step >= max_steps:
                             break
@@ -266,15 +332,15 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
                         loss = float(metrics["loss"])
                         global_test_step += 1
                         writer.scalar("dev/loss", loss, global_test_step)
-                        if (not test_evaluated
+                        if (primary and not test_evaluated
                                 and global_epoch % cfg.test_eval_epoch_interval
                                 == 0):
                             # NOTE: filenames use the train step
                             # (reference: train.py:753-756 "NOTE: use train
                             # step (i.e., global_step) for filename")
                             test_evaluated = True
-                            save_eval_audio(state, cfg, batch, eval_dir,
-                                            global_step,
+                            save_eval_audio(state, cfg, host_batch["b"],
+                                            eval_dir, global_step,
                                             _eval_rng(3, global_step))
                     if loss is not None:
                         running += loss
@@ -291,9 +357,10 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
         print("Interrupted — saving final checkpoint "
               "(reference: train.py:1101-1110)")
     finally:
-        ckpt_lib.save_checkpoint(
-            checkpoint_dir, state, global_step=global_step,
-            global_epoch=global_epoch, global_test_step=global_test_step,
-            save_optimizer_state=cfg.save_optimizer_state)
+        if primary:
+            ckpt_lib.save_checkpoint(
+                checkpoint_dir, state, global_step=global_step,
+                global_epoch=global_epoch, global_test_step=global_test_step,
+                save_optimizer_state=cfg.save_optimizer_state)
         writer.close()
     return state
