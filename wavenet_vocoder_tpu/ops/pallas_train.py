@@ -8,21 +8,28 @@ tile inside VMEM: HBM traffic drops to x0/c in + skips out + parameter
 gradients, an order of magnitude fewer bytes.
 
 Structure (forward):
-  * grid = (n_bt, n_tt) over batch tiles x time tiles.
-  * each time tile loads a LEFT-extended window E = Tt + H where
-    H = sum((k-1)*d) is the stack receptive field: layer l's dilated conv
-    needs x_l history, and computing all layers on the extended window makes
-    the tile's [H, E) region exactly correct (halo positions of x_l are
-    recomputed per tile — cheaper than materializing x_l in HBM).
+  * grid = (n_bt, n_tt) over batch tiles x time tiles; TPU grids execute
+    in lexicographic order (ti fastest), so the kernel keeps a per-layer
+    VMEM CARRY of the last ``pad = (k-1)*max_dil`` columns of every x_l —
+    each tile's dilated convs read [carry | tile] and the carry is
+    refreshed with the tile's tail. ZERO redundant FLOPs (the r3 kernel
+    recomputed a left halo of H = sum((k-1)*d) positions per tile instead)
+    and exact causal semantics for free (the carry starts at zero).
   * per layer: causal dilated conv as k static-shifted matmuls over the
-    left-padded tile + cond 1x1 + GLU + fused (out|skip) matmul; skips
-    accumulate in f32 in VMEM; only skips[:, H:] is written out.
+    carry-extended tile + cond 1x1 + GLU + fused (out|skip) matmul; skips
+    accumulate in f32 in VMEM.
+  * when training (emit_bnd), the carry snapshot at each tile start — the
+    exact pad-wide boundary columns of every x_l — is written to HBM
+    (L*B*n_tt*pad*R bf16, ~tens of MB) so the backward kernel can
+    reconstruct the x_l chain with NO left halo at all.
   * the residual output of the last block is discarded, matching
     apply_wavenet (the head consumes only the skip sum;
     reference: wavenet.py:199-205).
 
-Backward (custom_vjp): mirrored right-extended tiles; the x_l chain is
-recomputed per tile (flash-attention-style), dz walks the layers top-down,
+Backward (custom_vjp): RIGHT-extended tiles E = Tt + H (dz at up to H
+positions past the tile feeds dx inside it); the x_l chain is recomputed
+per tile from the forward's boundary stash (flash-attention-style, but with
+exact boundaries instead of a second halo), dz walks the layers top-down,
 dW/dc accumulate masked to each tile's home region so boundary-spanning
 contributions are counted exactly once. See _bwd kernel.
 
@@ -84,20 +91,23 @@ def _round_up(x: int, m: int) -> int:
 
 def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                bt: Optional[int] = None,
-               tt: Optional[int] = None) -> Tuple[int, int]:
-    """Pick (Bt, Tt) for the BACKWARD kernel. The halo overhead is
-    (Tt+2H)/Tt, so Tt should be a few x H — measured on v5e (flagship,
-    H=504): Tt=2048 beats 1024 (0.128 vs 0.156 s fwd+bwd) and 4096
-    (0.138 s; the bigger x-stash loses more to VMEM pressure than the
-    smaller halo gains). The backward kernel stashes the whole x_l chain —
-    (L, Bt, Tt+2H, R) bf16 — in VMEM, which caps Bt."""
+               tt: Optional[int] = None,
+               G: Optional[int] = None) -> Tuple[int, int]:
+    """Pick (Bt, Tt) for the BACKWARD kernel. The right-halo overhead is
+    (Tt+H)/Tt, so Tt should be a few x H — measured on v5e (flagship,
+    H=504): Tt=2048 beats 1024 and 4096 (the bigger stashes lose more to
+    VMEM pressure than the smaller halo gains). The backward kernel stashes
+    the whole x_l chain plus the (tanh a, sigmoid b) gate activations —
+    (L, Bt, Tt+H, R + G) bf16 — in VMEM, which caps Bt."""
+    if G is None:
+        G = 2 * R
     if tt is None:
         tt = min(_round_up(max(4 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
         # the backward also pays ~tile-sized register-allocator spills and
-        # double-buffered input windows on top of the x-stash scratch
-        budget = 24 * 2 ** 20
-        per_b = L * (tt + 2 * H) * R * 2
+        # double-buffered input windows on top of the stash scratch
+        budget = 52 * 2 ** 20
+        per_b = L * (tt + H) * (R + G) * 2
         bt = max(1, min(B, budget // max(per_b, 1)))
         while B % bt:
             bt -= 1
@@ -108,18 +118,18 @@ def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
                    cin: int,
                    bt: Optional[int] = None,
                    tt: Optional[int] = None) -> Tuple[int, int]:
-    """Pick (Bt, Tt) for the FORWARD kernel. No x-chain stash here, so the
-    batch tile is bounded only by the live working set per grid step
-    (double-buffered input windows + f32 skip/z temporaries), which lets it
-    run several batch rows per tile — fewer grid steps, taller matmuls."""
+    """Pick (Bt, Tt) for the FORWARD kernel. No x-chain stash here (the
+    carry is only (L, Bt, pad, R)), so the batch tile is bounded by the
+    live working set per grid step (double-buffered input tiles + f32
+    skip/z temporaries), which lets it run several batch rows per tile —
+    fewer grid steps, taller matmuls."""
     if tt is None:
         tt = min(_round_up(max(4 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
-        e = tt + H
-        # rough live bytes per batch row: x0/c windows (bf16, double-
-        # buffered), padded tap buffer, f32 z + skips + y temporaries
-        per_b = e * (2 * 2 * (R + max(cin, 0)) + 2 * R
-                     + 4 * (G + S + R + S))
+        # rough live bytes per batch row: x0/c tiles (bf16, double-
+        # buffered), carry-extended tap buffer, f32 z + skips + y temporaries
+        per_b = tt * (2 * 2 * (R + max(cin, 0)) + 2 * R
+                      + 4 * (G + S + R + S))
         budget = 56 * 2 ** 20
         bt = max(1, min(B, budget // max(per_b, 1)))
         while B % bt:
@@ -163,67 +173,78 @@ def dropout_mask(seed: jnp.ndarray, *, Bt: int, E: int, R: int, L: int,
 
 
 def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
-                     has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
-                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0):
+                     has_g: bool, dils: Tuple[int, ...], Bt: int,
+                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0,
+                     emit_bnd: bool = False):
     G2 = G // 2
     has_c = cin > 0
     has_drop = drop > 0.0
     keep = 1.0 - drop
     pad = max((k - 1) * d for d in dils)
+    H = stack_receptive(dils, k)
 
-    def kernel(x0_ref,                      # (1, Bt, E, R)
-               c_ref,                       # (1, Bt, E, cin) or (1,1,1,1)
+    def kernel(x0_ref,                      # (Bt, Tt, R)
+               c_ref,                       # (Bt, Tt, cin) or (1,1,1)
                gb_ref,                      # (L, Bt, G) f32 or (1,1,1)
                seed_ref,                    # (1, 1) int32 (SMEM)
                w_in_ref, b_in_ref,          # (L, k*R, G), (L, G)
                w_cond_ref,                  # (L, cin, G) or (1,1,1)
                w_og_ref, b_og_ref,          # (L, G2, R+S), (L, R+S)
-               skips_ref):                  # out (1, Bt, Tt, S) f32
-        x = x0_ref[0].astype(jnp.float32)   # (Bt, E, R)
+               skips_ref,                   # out (Bt, Tt, S) f32
+               *rest):                      # [bnd out] + carry scratch
+        if emit_bnd:
+            bnd_ref, carry = rest           # (1, L, Bt, pad, R), scratch
+        else:
+            (carry,) = rest                 # scratch (L, Bt, pad, R) dtype
+        ti = pl.program_id(1)
+
+        # the carry holds x_l[t0-pad : t0] per layer — exact causal history
+        # from the previous grid step (TPU grids run ti in ascending order).
+        # t < 0 is exact zeros (every layer's conv zero-pads).
+        @pl.when(ti == 0)
+        def _reset():
+            carry[...] = jnp.zeros_like(carry)
+
+        x = x0_ref[...].astype(jnp.float32)   # (Bt, Tt, R)
         ct = None
         if has_c:
-            ct = c_ref[0].astype(dtype).reshape(Bt * E, cin)
-        skips = jnp.zeros((Bt, E, S), jnp.float32)
-
-        # True causal semantics: every layer's conv zero-pads its input, so
-        # x_l[t<0] == 0 exactly. The FIRST time tile's left halo is synthetic
-        # zeros of x0 — recomputing layers there would give nonzero x_l
-        # whenever biases (b_in/b_og) or global conditioning are nonzero.
-        # Zero the halo after each layer for tile 0 to pin x_l[t<0] = 0.
-        bi = pl.program_id(0)
-        ti = pl.program_id(1)
-        Hh = E - Tt
-        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, E, 1), 1)
-        halo_keep = jnp.where((e_idx >= Hh) | (ti != 0), 1.0, 0.0)
+            ct = c_ref[...].astype(dtype).reshape(Bt * Tt, cin)
+        skips = jnp.zeros((Bt, Tt, S), jnp.float32)
         if has_drop:
             seed = seed_ref[0, 0]
-            b0 = bi * Bt
-            t0 = ti * Tt                    # t-key of window position 0
+            b0 = pl.program_id(0) * Bt
 
         for l in range(L):
             d = dils[l]
             w_l = w_in_ref[l]               # (k*R, G)
+            bnd_l = carry[l]                # (Bt, pad, R) in carry dtype
+            if emit_bnd:
+                bnd_ref[0, l] = bnd_l
+            # refresh the carry with this tile's tail BEFORE x advances
+            carry[l] = x[:, Tt - pad:].astype(carry.dtype)
+            xp = jnp.concatenate(
+                [bnd_l.astype(jnp.float32), x], axis=1)  # (Bt, pad+Tt, R)
             if has_drop:
                 # dropout on the conv INPUT only; the residual passthrough
-                # uses the un-dropped x (reference: modules.py:126-128)
-                m = dropout_mask(seed, Bt=Bt, E=E, R=R, L=L, l=l,
-                                 b0=b0, t0=t0, tkey=tkey, keep=keep)
-                xd = (x * (m * (1.0 / keep))).astype(dtype)
-            else:
-                xd = x.astype(dtype)
-            # left-pad once; tap j reads x[t - (k-1-j)*d] = xp[:, t + j*d]
-            xp = jnp.concatenate(
-                [jnp.zeros((Bt, pad, R), dtype), xd], axis=1)
+                # uses the un-dropped x (reference: modules.py:126-128).
+                # Keys are absolute, so the carry columns get the same bits
+                # they had as home positions of the previous tile.
+                # key of position 0 = absolute (ti*Tt - pad) + H
+                m = dropout_mask(seed, Bt=Bt, E=pad + Tt, R=R, L=L, l=l,
+                                 b0=b0, t0=ti * Tt - pad + H,
+                                 tkey=tkey, keep=keep)
+                xp = xp * (m * (1.0 / keep))
+            xpd = xp.astype(dtype)
             bias = jnp.zeros((Bt, 1, G), jnp.float32) + b_in_ref[l]
             if has_g:
                 # global conditioning: time-constant per-(batch,layer) bias
                 # (cond_g 1x1 on a constant vector; computed in XLA)
                 bias = bias + gb_ref[l][:, None, :]
-            z = (jnp.zeros((Bt, E, G), jnp.float32)
-                 + bias).reshape(Bt * E, G)
+            z = (jnp.zeros((Bt, Tt, G), jnp.float32)
+                 + bias).reshape(Bt * Tt, G)
             for j in range(k):
                 off = pad - (k - 1 - j) * d
-                tap = xp[:, off:off + E].reshape(Bt * E, R)
+                tap = xpd[:, off:off + Tt].reshape(Bt * Tt, R)
                 z = z + jnp.dot(tap, w_l[j * R:(j + 1) * R],
                                 preferred_element_type=jnp.float32)
             if has_c:
@@ -233,20 +254,21 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             gated = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dtype)
             y = jnp.dot(gated, w_og_ref[l],
                         preferred_element_type=jnp.float32)
-            y = y + b_og_ref[l]             # (Bt*E, R+S)
-            skips = skips + y[:, R:].reshape(Bt, E, S)
-            x = (y[:, :R].reshape(Bt, E, R)
+            y = y + b_og_ref[l]             # (Bt*Tt, R+S)
+            skips = skips + y[:, R:].reshape(Bt, Tt, S)
+            x = (y[:, :R].reshape(Bt, Tt, R)
                  + x) * _SQRT_HALF          # f32 residual accumulation
-            if l < L - 1:
-                x = x * halo_keep
 
-        skips_ref[0] = skips[:, E - Tt:]
+        skips_ref[...] = skips
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("st",))
-def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st):
+@partial(jax.jit, static_argnames=("st", "emit_bnd"))
+def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
+              emit_bnd=False):
+    """Returns skips (B, T, S) f32, or (skips, bnd) when emit_bnd — bnd is
+    the (n_tt, L, B, pad, R) per-tile boundary stash the backward consumes."""
     L, k, R, G, S = st.L, st.k, st.R, st.G, st.S
     cin, has_g, dils = st.cin, st.has_g, st.dils
     Bt, Tt = st.Bt_f, st.Tt_f
@@ -254,34 +276,29 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st):
     drop, tkey = st.drop, st.tkey
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
-    H = stack_receptive(dils, k)
-    E = Tt + H
+    pad = max((k - 1) * d for d in dils)
+    assert Tt >= pad, (Tt, pad)
     T_pad = _round_up(T, Tt)
     n_tt = T_pad // Tt
     n_bt = B // Bt
 
-    # left-extended tiles (XLA prepares the halo copies — ~H/Tt extra bytes
-    # of x0/c only)
-    def tiles(a, C):
-        a = jnp.pad(a.astype(dtype), ((0, 0), (H, T_pad - T), (0, 0)))
-        return jnp.stack([a[:, i * Tt:i * Tt + E] for i in range(n_tt)])
-
-    x0e = tiles(x0, R)                      # (n_tt, B, E, R) in compute dtype
+    # plain contiguous tiles — the carry makes halo copies unnecessary
+    x0p = jnp.pad(x0.astype(dtype), ((0, 0), (0, T_pad - T), (0, 0)))
     if cin > 0:
-        ce = tiles(c, cin)
+        cp = jnp.pad(c.astype(dtype), ((0, 0), (0, T_pad - T), (0, 0)))
     else:
-        ce = jnp.zeros((1, 1, 1, 1), dtype)
+        cp = jnp.zeros((1, 1, 1), dtype)
 
     kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
-                              dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype,
-                              drop=drop, tkey=tkey)
+                              dils=dils, Bt=Bt, Tt=Tt, dtype=dtype,
+                              drop=drop, tkey=tkey, emit_bnd=emit_bnd)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((1, Bt, E, R), lambda bi, ti: (ti, bi, 0, 0),
+    x_spec = pl.BlockSpec((Bt, Tt, R), lambda bi, ti: (bi, ti, 0),
                           memory_space=pltpu.VMEM)
-    c_spec = (pl.BlockSpec((1, Bt, E, cin), lambda bi, ti: (ti, bi, 0, 0),
+    c_spec = (pl.BlockSpec((Bt, Tt, cin), lambda bi, ti: (bi, ti, 0),
                            memory_space=pltpu.VMEM)
               if cin > 0 else
-              pl.BlockSpec((1, 1, 1, 1), lambda bi, ti: (0, 0, 0, 0),
+              pl.BlockSpec((1, 1, 1), lambda bi, ti: (0, 0, 0),
                            memory_space=pltpu.VMEM))
     gb_spec = (pl.BlockSpec((L, Bt, G), lambda bi, ti: (0, bi, 0),
                             memory_space=pltpu.VMEM)
@@ -291,27 +308,38 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st):
     seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
                              memory_space=pltpu.SMEM)
 
+    out_specs = pl.BlockSpec((Bt, Tt, S), lambda bi, ti: (bi, ti, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, T_pad, S), jnp.float32)
+    if emit_bnd:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, L, Bt, pad, R),
+                                  lambda bi, ti: (ti, 0, bi, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n_tt, L, B, pad, R), dtype))
+
     compiler_params = None
     if not interpret:
         # the unrolled 24-layer body holds several layers' temporaries live;
         # Mosaic's default 16MB scoped-VMEM limit is far below physical
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20)
-    skips = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
         in_specs=[x_spec, c_spec, gb_spec, seed_spec,
                   full(), full(), full(), full(), full()],
-        out_specs=pl.BlockSpec((1, Bt, Tt, S),
-                               lambda bi, ti: (ti, bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tt, B, Tt, S), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((L, Bt, pad, R), dtype)],
         interpret=interpret,
         compiler_params=compiler_params,
-    )(x0e, ce, gb, seed, w_in, b_in, w_cond, w_og, b_og)
-    # (n_tt, B, Tt, S) -> (B, T, S)
-    skips = jnp.swapaxes(skips, 0, 1).reshape(B, T_pad, S)[:, :T]
-    return skips
+    )(x0p, cp, gb, seed, w_in, b_in, w_cond, w_og, b_og)
+    if emit_bnd:
+        skips, bnd = out
+        return skips[:, :T], bnd
+    return out[:, :T]
 
 
 def pack_block_weights(folded_blocks, spec, dtype=jnp.float32):
@@ -406,8 +434,16 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     tt_b = Tt if Tt is not None else _env("FUSED_TT")
     bt_f = Bt if Bt is not None else (_env("FUSED_BT_F") or _env("FUSED_BT"))
     tt_f = Tt if Tt is not None else (_env("FUSED_TT_F") or _env("FUSED_TT"))
-    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b)
+    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b, G=G)
     Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
+    # the forward carry / boundary stash needs Tt >= pad, and the backward
+    # reads boundaries written at FORWARD tile starts, so its tile must be
+    # a multiple of the forward's
+    pad = max((k - 1) * d for d in dils)
+    Tt_f = max(Tt_f, _round_up(pad, 8))
+    Tt_b = max(Tt_b, Tt_f)
+    if Tt_b % Tt_f:
+        Tt_b = _round_up(Tt_b, Tt_f)
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
         folded_blocks, spec, dtype=dtype)
@@ -469,14 +505,15 @@ def _fused_vjp(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st):
 
 
 def _fused_fwd(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st):
-    out = _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st=st)
-    return out, (x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og)
+    out, bnd = _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og,
+                         st=st, emit_bnd=True)
+    return out, (x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd)
 
 
 def _fused_bwd(st, res, dskips):
-    x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og = res
+    x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd = res
     grads = _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og,
-                      dskips.astype(jnp.float32), st=st)
+                      bnd, dskips.astype(jnp.float32), st=st)
     # seed is integer-typed: its cotangent is a float0 zero
     dseed = np.zeros((1, 1), jax.dtypes.float0)
     dx0, dc, dgb, dw_in, db_in, dw_cond, dw_og, db_og = grads
@@ -492,31 +529,33 @@ _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
                      Tt: int, dtype, drop: float = 0.0, tkey: int = 0):
-    """Per (bt, tt) tile: recompute the x_l chain on a DOUBLE-extended
-    window [t0-H, t0+Tt+H), walk layers top-down computing dz, propagate
-    dx via the transposed dilated conv (needs the RIGHT halo), accumulate
-    dW/dc masked to the home region [t0, t0+Tt) so every position is
-    counted exactly once across tiles.
+    """Per (bt, tt) tile: reconstruct the x_l chain on the RIGHT-extended
+    window [t0, t0+Tt+H) — left history comes EXACTLY from the forward's
+    per-layer boundary stash (bnd), so there is no left-halo recompute —
+    then walk layers top-down computing dz, propagate dx via the transposed
+    dilated conv (dz at up to H positions past the tile feeds home dx),
+    and accumulate dW/dc masked to the home region [t0, t0+Tt) so
+    boundary-spanning contributions are counted exactly once.
 
     Dropout: the forward drops each layer's conv INPUT (not the residual
-    passthrough). Here the identical counter-based mask (same absolute
-    (b, t, l, r) keys as the forward — window position 0 keys to
-    ti*Tt - H + H = ti*Tt on both kernels despite different halos) is
-    re-applied in the phase-1 recompute and in phase-2: dW_in contracts
-    against the DROPPED taps, and the transposed-conv dx contribution is
-    masked by m/keep (d(x*m/keep)/dx)."""
+    passthrough). The identical counter-based mask (absolute (b, t, l, r)
+    keys) is re-applied over [t0-pad, t0+Tt+H): dW_in contracts against the
+    DROPPED taps and the transposed-conv dx contribution chains through
+    m/keep."""
     G2 = G // 2
     has_c = cin > 0
     has_drop = drop > 0.0
     keep = 1.0 - drop
     pad = max((k - 1) * d for d in dils)
+    H = stack_receptive(dils, k)
 
-    def kernel(x0_ref,                       # (1, Bt, E, R)  E = Tt + 2H
+    def kernel(x0_ref,                       # (1, Bt, E, R)  E = Tt + H
                c_ref,                        # (1, Bt, E, cin) or dummy
                gb_ref,                       # (L, Bt, G) f32 or (1,1,1)
                dsk_ref,                      # (1, Bt, E, S) f32 (zero pad)
                hm_ref,                       # (1, 1, E, 1) f32 home mask
                seed_ref,                     # (1, 1) int32 (SMEM)
+               bnd_ref,                      # (1, L, Bt, pad, R) dtype
                w_in_ref, b_in_ref, w_cond_ref, w_og_ref, b_og_ref,
                dx0_ref,                      # out (1, Bt, Tt, R) f32
                dc_ref,                       # out (1, Bt, Tt, cin)|dummy f32
@@ -524,7 +563,8 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                dw_in_ref, db_in_ref,         # out (L, k*R, G) f32, (L, G)
                dw_cond_ref,                  # out (L, cin, G) f32 | dummy
                dw_og_ref, db_og_ref,         # out (L, G2, R+S), (L, R+S)
-               xs_ref):                      # scratch (L, Bt, E, R)
+               xs_ref,                       # scratch (L, Bt, E, R)
+               ta_ref, sb_ref):              # scratch (L, Bt, E, G2) x2
         bi = pl.program_id(0)
         ti = pl.program_id(1)
 
@@ -552,27 +592,23 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
 
         if has_drop:
             seed = seed_ref[0, 0]
-            b0 = pl.program_id(0) * Bt
-            t0 = pl.program_id(1) * Tt       # abs-key of window position 0
+            b0 = bi * Bt
+            t0k = ti * Tt - pad + H          # key of xp position 0
 
-        def layer_mask(l):
-            """The forward's dropout mask (f32 {0,1}) for layer l, or None."""
-            if not has_drop:
-                return None
-            return dropout_mask(seed, Bt=Bt, E=E, R=R, L=L, l=l,
-                                b0=b0, t0=t0, tkey=tkey, keep=keep)
-
-        def dropped(xf, m):
-            """Layer l's conv input from the UN-dropped x_l (f32)."""
-            return xf if m is None else xf * (m * (1.0 / keep))
-
-        def in_proj(xf, l, m=None):
-            """z (Bt*E, G) from UN-dropped x_l f32 (Bt, E, R); m = layer
-            dropout mask (applied to the conv input, as the forward does)."""
-            w_l = w_in_ref[l]
+        def make_xp(xf, l):
+            """Conv input (Bt, pad+E, R) dtype = [bnd_l | xf] with the
+            forward's dropout applied; also returns the (pad+E) mask."""
             xp = jnp.concatenate(
-                [jnp.zeros((Bt, pad, R), dtype),
-                 dropped(xf, m).astype(dtype)], axis=1)
+                [bnd_ref[0, l].astype(jnp.float32), xf], axis=1)
+            if has_drop:
+                m = dropout_mask(seed, Bt=Bt, E=pad + E, R=R, L=L, l=l,
+                                 b0=b0, t0=t0k, tkey=tkey, keep=keep)
+                return (xp * (m * (1.0 / keep))).astype(dtype), m
+            return xp.astype(dtype), None
+
+        def in_proj(xpd, l):
+            """z (Bt*E, G) from the prebuilt (dropped) conv input."""
+            w_l = w_in_ref[l]
             bias = jnp.zeros((Bt, 1, G), jnp.float32) + b_in_ref[l]
             if has_g:
                 bias = bias + gb_ref[l][:, None, :]
@@ -580,7 +616,7 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                  + bias).reshape(Bt * E, G)
             for j in range(k):
                 off = pad - (k - 1 - j) * dils[l]
-                tap = xp[:, off:off + E].reshape(Bt * E, R)
+                tap = xpd[:, off:off + E].reshape(Bt * E, R)
                 z = z + jnp.dot(tap, w_l[j * R:(j + 1) * R],
                                 preferred_element_type=jnp.float32)
             if has_c:
@@ -588,27 +624,27 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                                 preferred_element_type=jnp.float32)
             return z
 
-        # phase 1: recompute and stash x_l for all layers. Only the residual
-        # half of the (out|skip) projection feeds x_{l+1} — the skip half is
-        # discarded here, so project against w_og[:, :R] alone. The first
-        # tile's left halo represents t<0 where true x_l == 0 (every layer's
-        # conv zero-pads); zero it after each layer so nonzero biases /
-        # global conditioning don't fabricate halo history (see fwd kernel).
-        Hh = (E - Tt) // 2
-        e_idx = jax.lax.broadcasted_iota(jnp.int32, (1, E, 1), 1)
-        halo_keep = jnp.where((e_idx >= Hh) | (ti != 0), 1.0, 0.0)
+        # phase 1: reconstruct and stash x_l AND the gate activations
+        # (tanh a, sigmoid b) for all layers — phase 2 then needs no
+        # in_proj recompute at all (k+1 matmuls per layer saved). Only the
+        # residual half of the (out|skip) projection feeds x_{l+1} — the
+        # skip half is discarded here, so project against w_og[:, :R] alone.
+        # The stash makes every position of the window exact (tile 0's
+        # boundary columns are true zeros — the forward's carry reset).
         x = x0_ref[0].astype(jnp.float32)
         for l in range(L):
             xs_ref[l] = x.astype(xs_ref.dtype)
-            z = in_proj(x, l, layer_mask(l))
+            xpd, _ = make_xp(x, l)
+            z = in_proj(xpd, l)
             a, b = z[:, :G2], z[:, G2:]
-            gated = (jnp.tanh(a) * jax.nn.sigmoid(b)).astype(dtype)
+            ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
+            ta_ref[l] = ta.reshape(Bt, E, G2).astype(ta_ref.dtype)
+            sb_ref[l] = sb.reshape(Bt, E, G2).astype(sb_ref.dtype)
+            gated = (ta * sb).astype(dtype)
             y = jnp.dot(gated, w_og_ref[l][:, :R],
                         preferred_element_type=jnp.float32)
             x = ((y + b_og_ref[l][:R]).reshape(Bt, E, R)
                  + x) * _SQRT_HALF
-            if l < L - 1:
-                x = x * halo_keep
 
         # phase 2: top-down grads
         dskips = dsk_ref[0].reshape(Bt * E, S)          # (Bt*E, S) f32
@@ -616,10 +652,9 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         dc_acc = (jnp.zeros((Bt * E, cin), jnp.float32) if has_c else None)
         for l in range(L - 1, -1, -1):
             xl = xs_ref[l].astype(jnp.float32)          # (Bt, E, R)
-            m_l = layer_mask(l)
-            z = in_proj(xl, l, m_l)
-            a, b = z[:, :G2], z[:, G2:]
-            ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
+            xpd, m_l = make_xp(xl, l)
+            ta = ta_ref[l].astype(jnp.float32).reshape(Bt * E, G2)
+            sb = sb_ref[l].astype(jnp.float32).reshape(Bt * E, G2)
             gated = (ta * sb).astype(dtype)
 
             dy_out = dx * _SQRT_HALF                    # (Bt, E, R)
@@ -637,12 +672,9 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             # positions accumulate in exactly one tile
             dz_m = (dz.reshape(Bt, E, G) * hm).reshape(Bt * E, G)
             dz_md = dz_m.astype(dtype)
-            xp = jnp.concatenate(
-                [jnp.zeros((Bt, pad, R), dtype),
-                 dropped(xl, m_l).astype(dtype)], axis=1)
             for j in range(k):
                 off = pad - (k - 1 - j) * dils[l]
-                tap = xp[:, off:off + E].reshape(Bt * E, R)
+                tap = xpd[:, off:off + E].reshape(Bt * E, R)
                 dw_in_ref[l, j * R:(j + 1) * R] += jnp.dot(
                     tap.T, dz_md, preferred_element_type=jnp.float32)
             db_in_ref[l] += jnp.sum(dz_m, axis=0)
@@ -678,20 +710,20 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             dxin3 = dxin.reshape(Bt, E, R)
             if m_l is not None:
                 # the conv consumed x*m/keep: chain through the mask
-                dxin3 = dxin3 * (m_l * (1.0 / keep))
+                # (the window part of the pad+E mask)
+                dxin3 = dxin3 * (m_l[:, pad:] * (1.0 / keep))
             dx = dy_out + dxin3
 
-        H = (E - Tt) // 2
-        dx0_ref[0] = dx[:, H:H + Tt]
+        dx0_ref[0] = dx[:, :Tt]
         if has_c:
-            dc_ref[0] = dc_acc.reshape(Bt, E, cin)[:, H:H + Tt]
+            dc_ref[0] = dc_acc.reshape(Bt, E, cin)[:, :Tt]
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("st",))
-def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, dskips, *,
-              st):
+def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
+              dskips, *, st):
     L, k, R, G, S = st.L, st.k, st.R, st.G, st.S
     cin, has_g, dils = st.cin, st.has_g, st.dils
     Bt, Tt = st.Bt_b, st.Tt_b
@@ -699,11 +731,16 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, dskips, *,
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
     H = stack_receptive(dils, k)
-    E = Tt + 2 * H
+    pad = max((k - 1) * d for d in dils)
+    E = Tt + H
     T_pad = _round_up(T, Tt)
     n_tt = T_pad // Tt
     n_bt = B // Bt
     has_c = cin > 0
+    # bnd was written at the FORWARD's tile boundaries; this kernel's tile
+    # starts must land on them (fused_res_stack enforces Tt_b % Tt_f == 0)
+    assert Tt % st.Tt_f == 0, (Tt, st.Tt_f)
+    stride = Tt // st.Tt_f
 
     def tiles(a, left, right):
         a = jnp.pad(a, ((0, 0), (left, right + T_pad - T), (0, 0)))
@@ -711,13 +748,12 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, dskips, *,
 
     # tile inputs ride in the kernel compute dtype (bf16 in production —
     # halves the double-buffered VMEM windows); grads stay f32
-    x0e = tiles(x0.astype(dtype), H, H)
-    ce = (tiles(c.astype(dtype), H, H) if has_c
+    x0e = tiles(x0.astype(dtype), 0, H)
+    ce = (tiles(c.astype(dtype), 0, H) if has_c
           else jnp.zeros((1, 1, 1, 1), dtype))
-    dske = tiles(dskips, H, H)
-    # home mask: within the double-extended window, positions [H, H+Tt)
-    # belong to this tile
-    hm = jnp.zeros((1, 1, E, 1), jnp.float32).at[:, :, H:H + Tt].set(1.0)
+    dske = tiles(dskips, 0, H)
+    # home mask: positions [0, Tt) of the right-extended window
+    hm = jnp.zeros((1, 1, E, 1), jnp.float32).at[:, :, :Tt].set(1.0)
 
     kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                               dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype,
@@ -725,6 +761,9 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, dskips, *,
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
                              memory_space=pltpu.SMEM)
+    bnd_spec = pl.BlockSpec((1, L, Bt, pad, R),
+                            lambda bi, ti: (ti * stride, 0, bi, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     def tile_spec(C):
         return pl.BlockSpec((1, Bt, E, C), lambda bi, ti: (ti, bi, 0, 0),
@@ -782,14 +821,16 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, dskips, *,
         kernel,
         grid=(n_bt, n_tt),
         in_specs=[tile_spec(R), c_spec, gb_spec, tile_spec(S),
-                  acc((1, 1, E, 1)), seed_spec,
+                  acc((1, 1, E, 1)), seed_spec, bnd_spec,
                   full(), full(), full(), full(), full()],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((L, Bt, E, R), dtype)],
+        scratch_shapes=[pltpu.VMEM((L, Bt, E, R), dtype),
+                        pltpu.VMEM((L, Bt, E, G2), dtype),
+                        pltpu.VMEM((L, Bt, E, G2), dtype)],
         interpret=interpret,
         compiler_params=compiler_params,
-    )(x0e, ce, gb, dske, hm, seed, w_in, b_in, w_cond, w_og, b_og)
+    )(x0e, ce, gb, dske, hm, seed, bnd, w_in, b_in, w_cond, w_og, b_og)
 
     dx0t, dct, dgb, dw_in, db_in, dw_cond, dw_og, db_og = outs
     dx0 = jnp.swapaxes(dx0t, 0, 1).reshape(B, T_pad, R)[:, :T]
