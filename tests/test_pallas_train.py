@@ -406,6 +406,31 @@ def test_fused_dropout_grad_tiles_differ_from_forward():
                                atol=3e-4, rtol=2e-4)
 
 
+def test_fused_gradients_no_act_stash(monkeypatch):
+    """act_stash=False (the big-config VMEM fallback: phase 2 recomputes
+    in_proj) must produce the same grads as the stash path."""
+    monkeypatch.setenv("FUSED_ACT_STASH", "0")
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(7)
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def loss_fused(blocks, x0, c):
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
+            dropout=0.3, seed=SEED, interpret=True) * w)
+
+    def loss_xla(blocks, x0, c):
+        return jnp.sum(_xla_stack_masked(blocks, spec, x0, c, SEED, 0.3) * w)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(blocks, x0, c)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(blocks, x0, c)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+
+
 def test_dropout_mask_keep_rate():
     """Statistical sanity: mean keep-rate ~= keep; two seeds decorrelate."""
     m1 = np.asarray(pt.dropout_mask(jnp.int32(7), Bt=8, E=512, R=64, L=4,

@@ -79,6 +79,10 @@ class FusedStatics:
     interpret: bool = False
     drop: float = 0.0
     tkey: int = 0
+    # stash (tanh a, sigmoid b) in backward phase 1 so phase 2 skips the
+    # whole in_proj recompute — costs 2*L*Bt*E*G2 VMEM bytes, so it is
+    # auto-enabled only when the estimate fits (see bwd_vmem_estimate)
+    act_stash: bool = True
 
 
 def stack_receptive(dilations: Tuple[int, ...], k: int) -> int:
@@ -135,6 +139,24 @@ def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
         while B % bt:
             bt -= 1
     return bt, tt
+
+
+def bwd_vmem_estimate(*, L: int, k: int, R: int, G: int, S: int, cin: int,
+                      Bt: int, E: int, act_stash: bool) -> int:
+    """Rough VMEM bytes for one backward grid step. The body-temporaries
+    coefficient is fitted to a measured Mosaic allocation (82.9MB at
+    Bt*E=2552, R=128, G=256, S=128 -> ~16*(R+G+S) live f32 channels per
+    position); used only to auto-gate the activation stash, so it needs to
+    be conservative, not exact."""
+    c = max(cin, 0)
+    body = Bt * E * 4 * 16 * (R + G + S)
+    xs = L * Bt * E * R * 2
+    act = 2 * L * Bt * E * (G // 2) * 2 if act_stash else 0
+    accums = 4 * (L * k * R * G + L * G + L * c * G
+                  + L * (G // 2) * (R + S) + L * (R + S))
+    windows = 2 * (Bt * E * (R + c) * 2 * 2 + Bt * E * S * 4 * 2)
+    weights = 2 * (L * k * R * G + L * c * G + L * (G // 2) * (R + S))
+    return body + xs + act + accums + windows + weights
 
 
 def _mix_bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -465,6 +487,21 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
         raise ValueError("fused_res_stack: dropout > 0 requires a seed")
     seed_arr = (seed.reshape(1, 1).astype(jnp.int32) if seed is not None
                 else jnp.zeros((1, 1), jnp.int32))
+    # activation stash: big phase-2 FLOP savings, but it adds
+    # 2*L*Bt*E*G2 bf16 of VMEM — auto-enable only when the conservative
+    # estimate fits the chip (flagship 24L/2048-tile does NOT; measured
+    # 153.6MB > 128MB). FUSED_ACT_STASH=0/1 overrides for benching;
+    # interpret mode (CPU tests) always exercises the stash path.
+    E_b = Tt_b + H
+    if _os.environ.get("FUSED_ACT_STASH"):
+        act_stash = bool(int(_os.environ["FUSED_ACT_STASH"]))
+    elif interpret:
+        act_stash = True
+    else:
+        act_stash = bwd_vmem_estimate(
+            L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=Bt_b, E=E_b,
+            act_stash=True) <= 118 * 2 ** 20
+
     # key stride for the absolute-time term. Valid positions key to
     # t + H in [0, T + H); padded-region keys may alias other rows but
     # padded outputs are sliced off and padded dz is identically zero, so
@@ -476,7 +513,7 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
                       cin=(cin if c is not None else -1), has_g=has_g,
                       dils=dils, Bt_f=Bt_f, Tt_f=Tt_f, Bt_b=Bt_b, Tt_b=Tt_b,
                       dtype_name=jnp.dtype(dtype).name, interpret=interpret,
-                      drop=drop, tkey=tkey)
+                      drop=drop, tkey=tkey, act_stash=act_stash)
     if n_dev == 1:
         return _fused_vjp(x0, c_arr, gb, seed_arr,
                           w_in, b_in, w_cond, w_og, b_og, st)
@@ -528,7 +565,8 @@ _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 # ----------------------------------------------------------------------
 def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
-                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0):
+                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0,
+                     act_stash: bool = True):
     """Per (bt, tt) tile: reconstruct the x_l chain on the RIGHT-extended
     window [t0, t0+Tt+H) — left history comes EXACTLY from the forward's
     per-layer boundary stash (bnd), so there is no left-halo recompute —
@@ -564,7 +602,7 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                dw_cond_ref,                  # out (L, cin, G) f32 | dummy
                dw_og_ref, db_og_ref,         # out (L, G2, R+S), (L, R+S)
                xs_ref,                       # scratch (L, Bt, E, R)
-               ta_ref, sb_ref):              # scratch (L, Bt, E, G2) x2
+               *act_refs):                   # [ta, sb] scratch if act_stash
         bi = pl.program_id(0)
         ti = pl.program_id(1)
 
@@ -638,8 +676,10 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             z = in_proj(xpd, l)
             a, b = z[:, :G2], z[:, G2:]
             ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
-            ta_ref[l] = ta.reshape(Bt, E, G2).astype(ta_ref.dtype)
-            sb_ref[l] = sb.reshape(Bt, E, G2).astype(sb_ref.dtype)
+            if act_stash:
+                ta_ref, sb_ref = act_refs
+                ta_ref[l] = ta.reshape(Bt, E, G2).astype(ta_ref.dtype)
+                sb_ref[l] = sb.reshape(Bt, E, G2).astype(sb_ref.dtype)
             gated = (ta * sb).astype(dtype)
             y = jnp.dot(gated, w_og_ref[l][:, :R],
                         preferred_element_type=jnp.float32)
@@ -653,8 +693,14 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         for l in range(L - 1, -1, -1):
             xl = xs_ref[l].astype(jnp.float32)          # (Bt, E, R)
             xpd, m_l = make_xp(xl, l)
-            ta = ta_ref[l].astype(jnp.float32).reshape(Bt * E, G2)
-            sb = sb_ref[l].astype(jnp.float32).reshape(Bt * E, G2)
+            if act_stash:
+                ta_ref, sb_ref = act_refs
+                ta = ta_ref[l].astype(jnp.float32).reshape(Bt * E, G2)
+                sb = sb_ref[l].astype(jnp.float32).reshape(Bt * E, G2)
+            else:
+                z = in_proj(xpd, l)
+                a, b = z[:, :G2], z[:, G2:]
+                ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
             gated = (ta * sb).astype(dtype)
 
             dy_out = dx * _SQRT_HALF                    # (Bt, E, R)
@@ -757,7 +803,8 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
 
     kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                               dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype,
-                              drop=st.drop, tkey=st.tkey)
+                              drop=st.drop, tkey=st.tkey,
+                              act_stash=st.act_stash)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
                              memory_space=pltpu.SMEM)
@@ -825,9 +872,10 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
                   full(), full(), full(), full(), full()],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((L, Bt, E, R), dtype),
-                        pltpu.VMEM((L, Bt, E, G2), dtype),
-                        pltpu.VMEM((L, Bt, E, G2), dtype)],
+        scratch_shapes=([pltpu.VMEM((L, Bt, E, R), dtype)]
+                        + ([pltpu.VMEM((L, Bt, E, G2), dtype),
+                            pltpu.VMEM((L, Bt, E, G2), dtype)]
+                           if st.act_stash else [])),
         interpret=interpret,
         compiler_params=compiler_params,
     )(x0e, ce, gb, dske, hm, seed, bnd, w_in, b_in, w_cond, w_og, b_og)
