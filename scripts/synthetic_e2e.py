@@ -53,6 +53,12 @@ def main(argv=None) -> int:
     ap.add_argument("--head", default="mulaw256",
                     choices=("mulaw256", "mol", "gaussian"))
     ap.add_argument("--lr", type=float, default=5e-4)
+    # production paths by default: the fused residual-stack TRAIN kernel
+    # (ops/pallas_train.py) and the fused pallas GENERATION kernel — so
+    # kernel changes are what this check validates. --xla flips both to
+    # the XLA scan/conv paths for A/B.
+    ap.add_argument("--xla", action="store_true",
+                    help="use the XLA train path + scan generation engine")
     args = ap.parse_args(argv)
 
     try:
@@ -90,7 +96,7 @@ def main(argv=None) -> int:
         skip_out_channels=64, max_time_steps=4096,
         upsample_conditional_features=True,
         upsample_params={"upsample_scales": [4, 4, 8]},
-        batch_size=8, lr_schedule="",
+        batch_size=8, lr_schedule="", fused_train=not args.xla,
         optimizer_params={"lr": args.lr, "eps": 1e-8, "weight_decay": 0.0},
         **head_cfg)
     spec = spec_from_config(cfg)
@@ -174,7 +180,8 @@ def main(argv=None) -> int:
     # the reference's EMA is meant for 100k+ step runs)
     params = jax.device_get(state.params)
     c = pad_mel_context(test_mel[None].astype(np.float32), cfg.cin_pad)
-    wav = batch_wavegen(params, cfg, spec=spec, c=c,
+    engine = "scan" if args.xla else "pallas"
+    wav = batch_wavegen(params, cfg, spec=spec, c=c, engine=engine,
                         rng=jax.random.PRNGKey(42))[0]
 
     f0_gen = dominant_f0(wav[2000:], sr)

@@ -96,25 +96,40 @@ def _round_up(x: int, m: int) -> int:
 def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                bt: Optional[int] = None,
                tt: Optional[int] = None,
-               G: Optional[int] = None) -> Tuple[int, int]:
+               G: Optional[int] = None, *,
+               k: int = 3, S: Optional[int] = None,
+               cin: int = -1) -> Tuple[int, int]:
     """Pick (Bt, Tt) for the BACKWARD kernel. The right-halo overhead is
     (Tt+H)/Tt, so Tt should be a few x H — measured on v5e (flagship,
     H=504): Tt=2048 beats 1024 and 4096 (the bigger stashes lose more to
-    VMEM pressure than the smaller halo gains). The backward kernel stashes
-    the whole x_l chain plus the (tanh a, sigmoid b) gate activations —
-    (L, Bt, Tt+H, R + G) bf16 — in VMEM, which caps Bt."""
+    VMEM pressure than the smaller halo gains). Bt is the largest divisor
+    of B whose whole-kernel VMEM estimate (body temporaries + x-stash +
+    accumulators, see bwd_vmem_estimate) fits the chip."""
     if G is None:
         G = 2 * R
+    if S is None:
+        S = R
     if tt is None:
         tt = min(_round_up(max(4 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
-        # the backward also pays ~tile-sized register-allocator spills and
-        # double-buffered input windows on top of the stash scratch
-        budget = 52 * 2 ** 20
-        per_b = L * (tt + H) * (R + G) * 2
-        bt = max(1, min(B, budget // max(per_b, 1)))
-        while B % bt:
-            bt -= 1
+        limit = 118 * 2 ** 20
+        # Bt*E also caps the Mosaic compile: a 12L config at Bt*E ~ 5100
+        # sat in the compiler for >45 min through the relay, while the
+        # flagship's 2552 compiles in ~20; keep tiles at that proven scale.
+        # And Bt > 1 makes every (Bt, E, C) -> (Bt*E, C) reshape a real
+        # relayout unless E is sublane-tile aligned — an UNALIGNED Bt=2
+        # (E=1276) got the compile helper SIGKILLed; Bt=1 reshapes are free
+        # for any E.
+        rows = 4096
+        bt = 1
+        for cand in range(2, B + 1):
+            if B % cand or (tt + H) % 16:
+                continue
+            if (cand * (tt + H) <= rows
+                    and bwd_vmem_estimate(L=L, k=k, R=R, G=G, S=S, cin=cin,
+                                          Bt=cand, E=tt + H,
+                                          act_stash=False) <= limit):
+                bt = cand
     return bt, tt
 
 
@@ -456,7 +471,8 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     tt_b = Tt if Tt is not None else _env("FUSED_TT")
     bt_f = Bt if Bt is not None else (_env("FUSED_BT_F") or _env("FUSED_BT"))
     tt_f = Tt if Tt is not None else (_env("FUSED_TT_F") or _env("FUSED_TT"))
-    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b, G=G)
+    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b, G=G,
+                            k=k, S=S, cin=max(cin, -1))
     Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
     # the forward carry / boundary stash needs Tt >= pad, and the backward
     # reads boundaries written at FORWARD tile starts, so its tile must be
