@@ -59,13 +59,14 @@ def bench_train():
 
     pipeline = bool(int(os.environ.get("BENCH_PIPELINE", "0")))
     # flagship MoL, 10240 crop, bf16 compute. Default path: the FUSED
-    # residual-stack kernel (ops/pallas_train.py) — 2.71M samples/s at B=32
-    # (0.121s/step, MFU 30.1%, hbm_bound_frac 0.14; tile sweep in
-    # scripts/bench_fused_sweep.py). BENCH_FUSED=0 gives the XLA layer-loop
-    # path: B=8: 1.15M, 16: 1.89M, 32: 2.04M (peak — AT the HBM roofline:
-    # 133.7GB/step at 819GB/s ≈ the whole step time; that roofline is WHY
-    # the fused kernel wins — it cuts HBM traffic 10x), 64: 1.77M, 128: OOM;
-    # remat hurts either path (recompute adds traffic).
+    # residual-stack kernel (ops/pallas_train.py, v2 carry/boundary-stash
+    # kernels) — B=32: 3.21M samples/s (0.102s/step, MFU 35.8%), B=64:
+    # 3.33M (0.197s/step, MFU 37.0%, peak); r3 v1 kernels were 2.71M.
+    # BENCH_FUSED=0 gives the XLA layer-loop path: B=8: 1.15M, 16: 1.89M,
+    # 32: 2.04M (peak — AT the HBM roofline: 133.7GB/step at 819GB/s ≈ the
+    # whole step time; that roofline is WHY the fused kernel wins — it cuts
+    # HBM traffic ~12x), 64: 1.77M, 128: OOM; remat hurts either path
+    # (recompute adds traffic).
     B = int(os.environ.get("BENCH_BATCH", 32))
     fused = bool(int(os.environ.get("BENCH_FUSED", "1")))
     cfg = Config(remat=bool(int(os.environ.get("BENCH_REMAT", "0"))),
