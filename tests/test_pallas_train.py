@@ -431,6 +431,38 @@ def test_fused_gradients_no_act_stash(monkeypatch):
                                    atol=3e-4, rtol=2e-4)
 
 
+def test_oversized_config_falls_back_to_xla():
+    """A 512-channel config cannot fit the fused backward on one chip —
+    apply_wavenet must warn and use the XLA layer loop, matching it
+    exactly (rather than dying in the Mosaic compiler)."""
+    import warnings as _w
+    from wavenet_vocoder_tpu.models.wavenet import apply_wavenet
+    from wavenet_vocoder_tpu.models.wavenet import init_wavenet as _init
+
+    big = WaveNetSpec(out_channels=30, layers=24, stacks=4,
+                      residual_channels=512, gate_channels=512,
+                      skip_out_channels=256, cin_channels=8,
+                      scalar_input=True, output_distribution="Logistic",
+                      fused_train=True)
+    assert not pt.fused_train_fits(big, 4096)
+    small = _spec()
+    assert pt.fused_train_fits(small, 4096)
+
+    params = _init(jax.random.PRNGKey(0), big)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.uniform(-0.5, 0.5, (1, 64, 1)).astype(np.float32))
+    c = jnp.asarray(rs.randn(1, 64, 8).astype(np.float32))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = apply_wavenet(params, big, x, c=c)
+    assert any("XLA layer loop" in str(w.message) for w in rec)
+    import dataclasses
+    ref = apply_wavenet(params, dataclasses.replace(big, fused_train=False),
+                        x, c=c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_dropout_mask_keep_rate():
     """Statistical sanity: mean keep-rate ~= keep; two seeds decorrelate."""
     m1 = np.asarray(pt.dropout_mask(jnp.int32(7), Bt=8, E=512, R=64, L=4,

@@ -263,7 +263,19 @@ def apply_wavenet(params: Params, spec: WaveNetSpec, x: jnp.ndarray,
 
     x = conv1x1(params["first_conv"], x)
 
-    if spec.fused_train:
+    use_fused = spec.fused_train
+    if use_fused:
+        from wavenet_vocoder_tpu.ops.pallas_train import fused_train_fits
+        if not fused_train_fits(spec, T):
+            import warnings
+            warnings.warn(
+                "fused_train requested but the fused backward cannot fit "
+                "one chip's VMEM at this model width (see "
+                "ops/pallas_train.fused_train_fits); using the XLA layer "
+                "loop instead", stacklevel=2)
+            use_fused = False
+
+    if use_fused:
         # fused residual-stack kernel: the whole layer loop per VMEM tile
         # (ops/pallas_train.py; custom VJP, grads flow to (g, v) through
         # the fold below). Interpret mode engages automatically off-TPU so

@@ -174,6 +174,28 @@ def bwd_vmem_estimate(*, L: int, k: int, R: int, G: int, S: int, cin: int,
     return body + xs + act + accums + windows + weights
 
 
+def fused_train_fits(spec, T: int) -> bool:
+    """Loose single-chip feasibility check for the fused train kernels.
+
+    False for configs whose BACKWARD cannot fit VMEM even at Bt=1 — e.g.
+    512-channel WaveNets, where the f32 dW accumulators alone (~75MB) plus
+    the x-stash exceed the chip. The estimator is crude (fitted at flagship
+    scale, see bwd_vmem_estimate), so the threshold is deliberately loose:
+    only hopeless configs are rejected; callers fall back to the XLA layer
+    loop with a warning (models/wavenet.py)."""
+    H = stack_receptive(spec.dilations, spec.kernel_size)
+    _, tt = pick_tiles(1, T, H, spec.layers, spec.residual_channels,
+                       G=spec.gate_channels, k=spec.kernel_size,
+                       S=spec.skip_out_channels,
+                       cin=spec.cin_channels)
+    est = bwd_vmem_estimate(
+        L=spec.layers, k=spec.kernel_size, R=spec.residual_channels,
+        G=spec.gate_channels, S=spec.skip_out_channels,
+        cin=spec.cin_channels if spec.has_local_conditioning else -1,
+        Bt=1, E=tt + H, act_stash=False)
+    return est <= 160 * 2 ** 20
+
+
 def _mix_bits(x: jnp.ndarray) -> jnp.ndarray:
     """Integer mix (murmur3-style finalizer) on int32 with logical shifts —
     wrapping int32 multiplies equal uint32 multiplies mod 2^32, so this is
