@@ -13,13 +13,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_cfg():
+def make_cfg(fused: bool = False):
     from wavenet_vocoder_tpu.config import Config
     return Config(input_type="raw", quantize_channels=65536, out_channels=30,
                   layers=4, stacks=2, residual_channels=16, gate_channels=32,
                   skip_out_channels=24, cin_channels=8, batch_size=8,
                   upsample_conditional_features=False, dropout=0.0,
-                  compute_dtype="", lr_schedule="",
+                  compute_dtype="", lr_schedule="", fused_train=fused,
                   exponential_moving_average=True)
 
 
@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--fused", action="store_true",
+                    help="fused_train: the Pallas stack dispatched via "
+                         "shard_map over the multi-host mesh")
     args = ap.parse_args()
 
     from wavenet_vocoder_tpu.parallel import (
@@ -65,7 +68,7 @@ def main():
     import jax
     assert (pid, n) == (args.process_id, args.num_processes)
 
-    cfg = make_cfg()
+    cfg = make_cfg(fused=args.fused)
     gb = make_global_batch(B=cfg.batch_size)
     B_loc = cfg.batch_size // n
     # global row layout follows device order = process order: this process
@@ -75,7 +78,7 @@ def main():
     mesh = make_mesh({"data": jax.device_count()})
     state = replicate_global(create_train_state(cfg), mesh)
     batch = global_batch_from_local(local, mesh)
-    step, _ = make_train_step(cfg)
+    step, _ = make_train_step(cfg, mesh=mesh if args.fused else None)
     state, loss = run_steps(state, step, batch)
 
     with open(args.out, "w") as f:

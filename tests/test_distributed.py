@@ -48,11 +48,15 @@ def test_dataset_shard_disjoint_and_complete(tmp_path):
     assert ds.shard(0, 1) is ds
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("fused", [False, True],
+                         ids=["xla", "fused_shard_map"])
+def test_two_process_training_matches_single_process(tmp_path, fused):
     """Spawn a REAL 2-process jax.distributed cluster (localhost CPU) and
     assert 3 data-parallel train steps produce the single-process loss and
     parameters — the collectives, the global-batch assembly, and the
-    replicated-state constructor all have to be right for this to hold."""
+    replicated-state constructor all have to be right for this to hold.
+    The fused variant additionally dispatches the Pallas residual stack
+    through shard_map over the MULTI-HOST mesh (the production train path)."""
     port = _free_port()
     env = {
         "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
@@ -69,7 +73,7 @@ def test_two_process_training_matches_single_process(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, "--coordinator", f"127.0.0.1:{port}",
              "--num-processes", "2", "--process-id", str(pid),
-             "--out", str(out)],
+             "--out", str(out)] + (["--fused"] if fused else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = []
     for p in procs:
@@ -97,7 +101,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     from wavenet_vocoder_tpu.training.train_state import (
         create_train_state, make_train_step)
 
-    cfg = w.make_cfg()
+    cfg = w.make_cfg(fused=fused)
     batch = jax.device_put(w.make_global_batch(B=cfg.batch_size))
     state = create_train_state(cfg)
     step, _ = make_train_step(cfg)
