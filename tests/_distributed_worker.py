@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="fused_train: the Pallas stack dispatched via "
                          "shard_map over the multi-host mesh")
+    ap.add_argument("--train-loop-dump", default=None,
+                    help="run the FULL train_loop over this dump dir "
+                         "instead of raw steps (integration mode)")
+    ap.add_argument("--checkpoint-dir", default=None)
     args = ap.parse_args()
 
     from wavenet_vocoder_tpu.parallel import (
@@ -67,6 +71,25 @@ def main():
                                     process_id=args.process_id)
     import jax
     assert (pid, n) == (args.process_id, args.num_processes)
+
+    if args.train_loop_dump:
+        # integration mode: the REAL train_loop end-to-end — per-process
+        # corpus shards, global-batch assembly, host-batch sanity check,
+        # primary-only checkpoint/metric writes
+        import dataclasses
+        from wavenet_vocoder_tpu.training.loop import train_loop
+        cfg = dataclasses.replace(
+            make_cfg(fused=args.fused), cin_channels=-1, batch_size=4,
+            max_time_steps=512, checkpoint_interval=2,
+            train_eval_interval=10 ** 9, test_eval_epoch_interval=10 ** 9,
+            num_workers=0, nepochs=50)
+        state = train_loop(cfg, args.train_loop_dump, args.checkpoint_dir,
+                           max_steps_override=2)
+        with open(args.out, "w") as f:
+            json.dump({"process": pid,
+                       "final_step": int(jax.device_get(state.step)),
+                       "global_devices": jax.device_count()}, f)
+        return
 
     cfg = make_cfg(fused=args.fused)
     gb = make_global_batch(B=cfg.batch_size)

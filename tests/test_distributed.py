@@ -43,8 +43,12 @@ def test_dataset_shard_disjoint_and_complete(tmp_path):
     ds = WaveNetDataset(str(tmp_path), cfg)
     n_total = len(ds)
     shards = [ds.shard(i, 3) for i in range(3)]
+    # shards are disjoint AND equal-length (truncated): every process must
+    # run the same number of batches or the SPMD collectives deadlock
+    assert len({len(s) for s in shards}) == 1
     paths = [u.wave_path for s in shards for u in s.utterances]
-    assert len(paths) == n_total == len(set(paths))
+    assert len(paths) == len(set(paths))
+    assert len(paths) == 3 * (n_total // 3)
     assert ds.shard(0, 1) is ds
 
 
@@ -95,6 +99,10 @@ def test_two_process_training_matches_single_process(tmp_path, fused):
                                                    rel=1e-6)
 
     # single-process reference on the SAME global batch / config / seed
+    _check_single_process_reference(results, fused)
+
+
+def _check_single_process_reference(results, fused):
     sys.path.insert(0, os.path.join(REPO, "tests"))
     import _distributed_worker as w
     import jax
@@ -109,3 +117,56 @@ def test_two_process_training_matches_single_process(tmp_path, fused):
     assert results[0]["loss"] == pytest.approx(loss, rel=1e-5)
     assert results[0]["checksum"] == pytest.approx(w.checksum(state.params),
                                                    rel=1e-5)
+
+
+def test_two_process_train_loop_end_to_end(tmp_path):
+    """The FULL train_loop over a real 2-process cluster: per-process corpus
+    shards, global-batch assembly, the host-batch sanity check, and
+    primary-only checkpoint/metric writes — the integration layer the
+    step-level test above bypasses (a device_get on a multi-host batch in
+    sanity_check crashed exactly here before)."""
+    rs = np.random.RandomState(0)
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    for i in range(6):
+        T = 640 + 64 * i
+        np.save(dump / f"u{i}-wave.npy",
+                rs.uniform(-0.5, 0.5, T).astype(np.float32))
+    ckpt = tmp_path / "ckpt"
+
+    port = _free_port()
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": REPO,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+    }
+    procs, outs, logs = [], [], []
+    for pid in range(2):
+        out = tmp_path / f"loop{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--out", str(out), "--train-loop-dump", str(dump),
+             "--checkpoint-dir", str(ckpt)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("train_loop worker timed out (likely an SPMD "
+                        "desync between processes)")
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    results = [json.loads(o.read_text()) for o in outs]
+    assert all(r["final_step"] == 2 for r in results)
+    # primary-only writes: checkpoints + metrics exist exactly once
+    assert (ckpt / "checkpoint_latest.npz").exists()
+    assert (ckpt / "hparams.json").exists()
+    assert (ckpt / "log" / "metrics.jsonl").exists()

@@ -254,7 +254,7 @@ def test_fused_train_step_matches_xla():
     # Adam divides by sqrt(nu)+eps, amplifying f32 accumulation-order noise
     # between the two (mathematically identical) grad computations
     for a, b in zip(jax.tree.leaves(s_x.params), jax.tree.leaves(s_f.params)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=4e-4)
 
 
 def test_fused_train_step_sharded_matches_single():
@@ -309,19 +309,18 @@ def test_fused_train_step_sharded_matches_single():
 def _xla_stack_masked(blocks, spec, x0, c, seed, drop):
     """XLA oracle applying the kernel's OWN counter-based masks: conv input
     dropped, residual passthrough un-dropped (reference: modules.py:126-128).
-    Absolute position t keys to t + H with tkey = T + H + 1 — must mirror
-    fused_res_stack's key derivation exactly."""
+    Absolute position t keys to t + H — must mirror fused_res_stack's key
+    derivation exactly."""
     from wavenet_vocoder_tpu.models.layers import _gated, causal_conv, conv1x1
     keep = 1.0 - drop
     B, T, R = x0.shape
     L = spec.layers
     H = pt.stack_receptive(spec.dilations, spec.kernel_size)
-    tkey = T + H + 1
     x = x0
     skips = None
     for l, (bp, d) in enumerate(zip(blocks, spec.dilations)):
         m = pt.dropout_mask(jnp.asarray(seed, jnp.int32), Bt=B, E=T, R=R,
-                            L=L, l=l, b0=0, t0=H, tkey=tkey, keep=keep)
+                            L=L, l=l, b0=0, t0=H, keep=keep)
         residual = x
         xd = (x * (m * (1.0 / keep))).astype(x.dtype)
         z = causal_conv(bp["conv"], xd, d)
@@ -466,9 +465,9 @@ def test_oversized_config_falls_back_to_xla():
 def test_dropout_mask_keep_rate():
     """Statistical sanity: mean keep-rate ~= keep; two seeds decorrelate."""
     m1 = np.asarray(pt.dropout_mask(jnp.int32(7), Bt=8, E=512, R=64, L=4,
-                                    l=1, b0=0, t0=0, tkey=1000, keep=0.7))
+                                    l=1, b0=0, t0=0, keep=0.7))
     m2 = np.asarray(pt.dropout_mask(jnp.int32(8), Bt=8, E=512, R=64, L=4,
-                                    l=1, b0=0, t0=0, tkey=1000, keep=0.7))
+                                    l=1, b0=0, t0=0, keep=0.7))
     assert abs(m1.mean() - 0.7) < 0.01, m1.mean()
     assert abs(m2.mean() - 0.7) < 0.01, m2.mean()
     # different seeds -> essentially independent masks

@@ -45,7 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.distributed or args.coordinator_address is not None:
+    if (args.distributed or args.coordinator_address is not None
+            or args.num_processes is not None
+            or args.process_id is not None):
         from wavenet_vocoder_tpu.parallel import initialize_distributed
         pid, n = initialize_distributed(
             coordinator_address=args.coordinator_address,

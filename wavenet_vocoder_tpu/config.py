@@ -125,10 +125,13 @@ class Config:
     # Fused training-stack kernel (ops/pallas_train.py): compute all
     # residual blocks per VMEM tile instead of round-tripping every layer's
     # activations through HBM — the XLA train step is bandwidth-bound, so
-    # this is the throughput lever. Supports local + global conditioning;
-    # requires dropout=0 (the reference default, hparams.py:64;
-    # spec_from_config validates). TPU-only (XLA interpret fallback engages
-    # automatically off-TPU for tests).
+    # this is the throughput lever. Supports local + global conditioning
+    # AND dropout (in-kernel counter-based mask, reproduced exactly by the
+    # backward; reference applies it per block conv input,
+    # modules.py:126-128). Configs too wide to fit the backward in one
+    # chip's VMEM (512-channel class) fall back to the XLA path with a
+    # warning. TPU-only (XLA interpret fallback engages automatically
+    # off-TPU for tests).
     fused_train: bool = False
     # Remat policy: "" = recompute everything in backward; "dots" =
     # jax.checkpoint_policies.dots_saveable — save matmul outputs, recompute

@@ -148,16 +148,22 @@ class WaveNetDataset:
 
     def shard(self, process_id: int, num_processes: int) -> "WaveNetDataset":
         """Disjoint per-process corpus slice for multi-host data parallelism
-        (every num_processes-th utterance). Returns self when single-process."""
+        (every num_processes-th utterance). Shards are TRUNCATED to equal
+        length: every process must execute the identical SPMD program
+        sequence, so all loaders must yield the same number (and row
+        structure) of batches — a one-longer shard would leave the other
+        hosts waiting in a collective forever. Returns self when
+        single-process."""
         if num_processes <= 1:
             return self
         import copy
         out = copy.copy(self)
-        out.utterances = self.utterances[process_id::num_processes]
-        if not out.utterances:
+        n_equal = len(self.utterances) // num_processes
+        if n_equal == 0:
             raise ValueError(
-                f"process {process_id}/{num_processes} got an empty corpus "
-                f"shard ({len(self.utterances)} utterances total)")
+                f"corpus of {len(self.utterances)} utterances cannot feed "
+                f"{num_processes} processes")
+        out.utterances = self.utterances[process_id::num_processes][:n_equal]
         return out
 
     def __len__(self) -> int:

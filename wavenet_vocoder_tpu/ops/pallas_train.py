@@ -78,7 +78,6 @@ class FusedStatics:
     dtype_name: str
     interpret: bool = False
     drop: float = 0.0
-    tkey: int = 0
     # stash (tanh a, sigmoid b) in backward phase 1 so phase 2 skips the
     # whole in_proj recompute — costs 2*L*Bt*E*G2 VMEM bytes, so it is
     # auto-enabled only when the estimate fits (see bwd_vmem_estimate)
@@ -210,21 +209,25 @@ def _mix_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def dropout_mask(seed: jnp.ndarray, *, Bt: int, E: int, R: int, L: int,
-                 l: int, b0, t0, tkey: int, keep: float) -> jnp.ndarray:
+                 l: int, b0, t0, keep: float) -> jnp.ndarray:
     """Deterministic per-element dropout mask over a (Bt, E, R) tile.
 
     Counter-based: keyed on ABSOLUTE (batch, time, layer, channel) indices,
     so the forward and backward kernels reproduce identical masks on
     different tile shapes/halos (t0 must be the absolute t-key of window
-    position 0 = tile_start - halo + H = ti*Tt for both kernels). `seed` is
-    an int32 scalar. Returns a f32 {0,1} mask; caller scales by 1/keep."""
+    position 0). Two hash rounds: the batch row is mixed with the seed into
+    a per-row key, then the (t, l, r) index is mixed in — a single linear
+    combination would overflow int32 once batch*(T+H)*L*R > 2^32 and alias
+    masks between rows. (t*L + l)*R + r itself stays well under 2^31 for
+    any realistic crop. `seed` is an int32 scalar. Returns a f32 {0,1}
+    mask; caller scales by 1/keep."""
     i32 = jnp.int32
     bi_ = jax.lax.broadcasted_iota(i32, (Bt, E, R), 0) + b0
     ti_ = jax.lax.broadcasted_iota(i32, (Bt, E, R), 1) + t0
     ri_ = jax.lax.broadcasted_iota(i32, (Bt, E, R), 2)
-    idx = ((bi_ * np.int32(tkey) + ti_) * np.int32(L)
-           + np.int32(l)) * np.int32(R) + ri_
-    u = _mix_bits(idx ^ seed)
+    bkey = _mix_bits(bi_ ^ seed)
+    idx = (ti_ * np.int32(L) + np.int32(l)) * np.int32(R) + ri_
+    u = _mix_bits(bkey ^ idx)
     # unsigned compare via the top 24 bits (non-negative after logical srl)
     v = jax.lax.shift_right_logical(u, 8)
     thresh = np.int32(min(int(keep * (1 << 24)), (1 << 24)))
@@ -233,7 +236,7 @@ def dropout_mask(seed: jnp.ndarray, *, Bt: int, E: int, R: int, L: int,
 
 def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int,
-                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0,
+                     Tt: int, dtype, drop: float = 0.0,
                      emit_bnd: bool = False):
     G2 = G // 2
     has_c = cin > 0
@@ -291,7 +294,7 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                 # key of position 0 = absolute (ti*Tt - pad) + H
                 m = dropout_mask(seed, Bt=Bt, E=pad + Tt, R=R, L=L, l=l,
                                  b0=b0, t0=ti * Tt - pad + H,
-                                 tkey=tkey, keep=keep)
+                                 keep=keep)
                 xp = xp * (m * (1.0 / keep))
             xpd = xp.astype(dtype)
             bias = jnp.zeros((Bt, 1, G), jnp.float32) + b_in_ref[l]
@@ -332,7 +335,7 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
     cin, has_g, dils = st.cin, st.has_g, st.dils
     Bt, Tt = st.Bt_f, st.Tt_f
     dtype_name, interpret = st.dtype_name, st.interpret
-    drop, tkey = st.drop, st.tkey
+    drop = st.drop
     dtype = jnp.dtype(dtype_name)
     B, T, _ = x0.shape
     pad = max((k - 1) * d for d in dils)
@@ -350,7 +353,7 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
 
     kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                               dils=dils, Bt=Bt, Tt=Tt, dtype=dtype,
-                              drop=drop, tkey=tkey, emit_bnd=emit_bnd)
+                              drop=drop, emit_bnd=emit_bnd)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((Bt, Tt, R), lambda bi, ti: (bi, ti, 0),
                           memory_space=pltpu.VMEM)
@@ -381,9 +384,11 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
     compiler_params = None
     if not interpret:
         # the unrolled 24-layer body holds several layers' temporaries live;
-        # Mosaic's default 16MB scoped-VMEM limit is far below physical
+        # Mosaic's default 16MB scoped-VMEM limit is far below physical.
+        # Must sit ABOVE the 118MB tile/stash gates (pick_tiles /
+        # bwd_vmem_estimate) or configs the gates admit fail at compile.
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2 ** 20)
+            vmem_limit_bytes=122 * 2 ** 20)
     out = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
@@ -540,18 +545,11 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
             L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=Bt_b, E=E_b,
             act_stash=True) <= 118 * 2 ** 20
 
-    # key stride for the absolute-time term. Valid positions key to
-    # t + H in [0, T + H); padded-region keys may alias other rows but
-    # padded outputs are sliced off and padded dz is identically zero, so
-    # only valid keys need be collision-free. Crucially this is
-    # TILE-INDEPENDENT: the same (seed, t, l, r) gives the same mask bit
-    # for any (Bt, Tt) choice — fwd and bwd may tile differently.
-    tkey = T + H + 1
     st = FusedStatics(L=L, k=k, R=R, G=G, S=S,
                       cin=(cin if c is not None else -1), has_g=has_g,
                       dils=dils, Bt_f=Bt_f, Tt_f=Tt_f, Bt_b=Bt_b, Tt_b=Tt_b,
                       dtype_name=jnp.dtype(dtype).name, interpret=interpret,
-                      drop=drop, tkey=tkey, act_stash=act_stash)
+                      drop=drop, act_stash=act_stash)
     if n_dev == 1:
         return _fused_vjp(x0, c_arr, gb, seed_arr,
                           w_in, b_in, w_cond, w_og, b_og, st)
@@ -603,7 +601,7 @@ _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 # ----------------------------------------------------------------------
 def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
-                     Tt: int, dtype, drop: float = 0.0, tkey: int = 0,
+                     Tt: int, dtype, drop: float = 0.0,
                      act_stash: bool = True):
     """Per (bt, tt) tile: reconstruct the x_l chain on the RIGHT-extended
     window [t0, t0+Tt+H) — left history comes EXACTLY from the forward's
@@ -678,7 +676,7 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                 [bnd_ref[0, l].astype(jnp.float32), xf], axis=1)
             if has_drop:
                 m = dropout_mask(seed, Bt=Bt, E=pad + E, R=R, L=L, l=l,
-                                 b0=b0, t0=t0k, tkey=tkey, keep=keep)
+                                 b0=b0, t0=t0k, keep=keep)
                 return (xp * (m * (1.0 / keep))).astype(dtype), m
             return xp.astype(dtype), None
 
@@ -841,7 +839,7 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
 
     kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                               dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype,
-                              drop=st.drop, tkey=st.tkey,
+                              drop=st.drop,
                               act_stash=st.act_stash)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
@@ -900,8 +898,9 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
 
     compiler_params = None
     if not interpret:
+        # above the 118MB gates; see the forward's note
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2 ** 20)
+            vmem_limit_bytes=122 * 2 ** 20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),

@@ -216,15 +216,25 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
     global_step = 0
     global_epoch = 0
     global_test_step = 0
-    if restore_parts_path:
+    # multi-host restore: only process 0 is guaranteed to see the checkpoint
+    # files (it is the only writer; the filesystem may not be shared), so it
+    # loads and BROADCASTS — which also guarantees bit-identical state on
+    # every host, the precondition of replicate_global below.
+    if restore_parts_path and (n_proc == 1 or primary):
         state = state.replace(
             params=ckpt_lib.restore_parts(restore_parts_path, state.params))
-    if restore_checkpoint:
+    if restore_checkpoint and (n_proc == 1 or primary):
         state, counters = ckpt_lib.load_checkpoint(
             restore_checkpoint, state, reset_optimizer=reset_optimizer)
         global_step = counters["global_step"]
         global_epoch = counters["global_epoch"]
         global_test_step = counters["global_test_step"]
+    if n_proc > 1 and (restore_parts_path or restore_checkpoint):
+        from jax.experimental import multihost_utils
+        state = multihost_utils.broadcast_one_to_all(state)
+        global_step, global_epoch, global_test_step = (
+            int(v) for v in multihost_utils.broadcast_one_to_all(
+                np.asarray([global_step, global_epoch, global_test_step])))
 
     mesh = None
     if use_mesh and jax.device_count() > 1:
@@ -283,7 +293,9 @@ def train_loop(cfg: Config, data_root: str, checkpoint_dir: str, *,
 
                 for batch in prefetch_to_device(loader, put=put):
                     if not _checked:
-                        sanity_check(spec, jax.device_get(batch))
+                        # host-side copy: a multi-host global batch spans
+                        # non-addressable devices and cannot be device_get
+                        sanity_check(spec, host_batch["b"])
                         _checked = True
                     if train:
                         t0 = time.time()

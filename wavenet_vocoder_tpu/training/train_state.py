@@ -202,10 +202,10 @@ def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None,
     use_ema = cfg.exponential_moving_average
     stack_mesh = mesh if spec.fused_train else None
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, train=True):
         y_hat = apply_wavenet(
             params, spec, batch["x"], c=batch.get("c"), g=batch.get("g"),
-            train=True, rng=rng, dtype=dtype, mesh=stack_mesh)
+            train=train, rng=rng, dtype=dtype, mesh=stack_mesh)
         T = batch["x"].shape[1]
         # one-sample AR shift (reference: train.py:728-729, 742-748)
         mask = sequence_mask(batch["input_lengths"], T)[:, 1:]
@@ -237,9 +237,10 @@ def make_train_step(cfg: Config, spec: Optional[WaveNetSpec] = None,
     @jax.jit
     def eval_step(state: TrainState, batch: Dict[str, Any], rng
                   ) -> Dict[str, jnp.ndarray]:
-        """Dev-set loss with the same criterion, no update
-        (reference: train.py:802-849 dev phase)."""
-        loss = loss_fn(state.params, batch, rng)
+        """Dev-set loss with the same criterion, no update, DROPOUT OFF —
+        the reference runs dev phases under model.eval()
+        (reference: train.py:702-709 dev phase)."""
+        loss = loss_fn(state.params, batch, rng, train=False)
         return {"loss": loss}
 
     return train_step, eval_step
