@@ -475,35 +475,35 @@ def test_dropout_mask_keep_rate():
     assert abs(agree - (0.7 * 0.7 + 0.3 * 0.3)) < 0.02, agree
 
 
-def test_fused_dropout_sharded_decorrelates_per_device():
-    """Under shard_map each device keys masks by LOCAL batch indices, so the
-    seed is offset by axis_index: device 0's rows must match the
-    single-device run exactly (same seed, same local indices) while device
-    1's rows must NOT repeat device 0's mask pattern."""
+def test_fused_dropout_sharded_matches_single_device():
+    """Dropout masks are keyed on GLOBAL batch rows (each shard passes its
+    row offset into the kernel), so the sharded run must be bit-identical
+    to the single-device run on the whole global batch — and two devices
+    fed the SAME data must still produce different outputs (no cross-device
+    mask aliasing; ADVICE r4 found seed+axis_index aliased via XOR)."""
     if jax.device_count() < 2:
         pytest.skip("needs >=2 devices")
     from wavenet_vocoder_tpu.parallel import make_mesh
 
     spec = _spec()
-    blocks, x0, c = _setup(spec, B=2, T=96)
+    blocks, x0, c = _setup(spec, B=4, T=96)
     mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
     kw = dict(dtype=jnp.float32, Bt=1, Tt=32, dropout=0.4, seed=SEED,
               interpret=True)
     sharded = np.asarray(pt.fused_res_stack(
         x0, c, blocks, spec, mesh=mesh, **kw))
-    single_row0 = np.asarray(pt.fused_res_stack(
-        x0[:1], c[:1], blocks, spec, **kw))
-    # device 0 == single-device on the same rows
-    np.testing.assert_allclose(sharded[:1], single_row0, atol=2e-5,
-                               rtol=1e-5)
-    # device 1 must not reuse device 0's masks for its (identical local
-    # index) row: feed the SAME row to both devices and require different
-    # outputs
-    x_same = jnp.concatenate([x0[:1], x0[:1]])
-    c_same = jnp.concatenate([c[:1], c[:1]])
+    single = np.asarray(pt.fused_res_stack(x0, c, blocks, spec, **kw))
+    # ALL rows (both shards) == single-device on the same global batch
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
+    # identical data on every row: every pair of rows must still differ
+    # (each global row has its own mask — nothing aliases across shards)
+    x_same = jnp.tile(x0[:1], (4, 1, 1))
+    c_same = jnp.tile(c[:1], (4, 1, 1))
     out_same = np.asarray(pt.fused_res_stack(
         x_same, c_same, blocks, spec, mesh=mesh, **kw))
-    assert np.abs(out_same[0] - out_same[1]).max() > 1e-3
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert np.abs(out_same[i] - out_same[j]).max() > 1e-3, (i, j)
 
 
 def test_fused_train_step_with_dropout_runs():

@@ -248,7 +248,7 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
     def kernel(x0_ref,                      # (Bt, Tt, R)
                c_ref,                       # (Bt, Tt, cin) or (1,1,1)
                gb_ref,                      # (L, Bt, G) f32 or (1,1,1)
-               seed_ref,                    # (1, 1) int32 (SMEM)
+               seed_ref,                    # (1, 2) int32 (SMEM): seed, boff
                w_in_ref, b_in_ref,          # (L, k*R, G), (L, G)
                w_cond_ref,                  # (L, cin, G) or (1,1,1)
                w_og_ref, b_og_ref,          # (L, G2, R+S), (L, R+S)
@@ -274,7 +274,8 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         skips = jnp.zeros((Bt, Tt, S), jnp.float32)
         if has_drop:
             seed = seed_ref[0, 0]
-            b0 = pl.program_id(0) * Bt
+            # seed_ref[0, 1] = global row offset of this shard (shard_map)
+            b0 = pl.program_id(0) * Bt + seed_ref[0, 1]
 
         for l in range(L):
             d = dils[l]
@@ -367,7 +368,7 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
                if has_g else
                pl.BlockSpec((1, 1, 1), lambda bi, ti: (0, 0, 0),
                             memory_space=pltpu.VMEM))
-    seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+    seed_spec = pl.BlockSpec((1, 2), lambda bi, ti: (0, 0),
                              memory_space=pltpu.SMEM)
 
     out_specs = pl.BlockSpec((Bt, Tt, S), lambda bi, ti: (bi, ti, 0),
@@ -465,8 +466,9 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     Mosaic custom calls, so under a multi-device mesh the kernel is
     dispatched through shard_map over the batch (one independent kernel per
     device, no collectives in the stack; weight cotangents are psum'd by the
-    shard_map transpose). The dropout seed is decorrelated per device by
-    folding in the data-axis index."""
+    shard_map transpose). Dropout masks are keyed on the GLOBAL batch row
+    (each device passes its row offset into the kernel), so a sharded run
+    is bit-identical to the single-device run on the same global batch."""
     L = spec.layers
     k = spec.kernel_size
     R = spec.residual_channels
@@ -528,8 +530,12 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     drop = float(dropout)
     if drop > 0.0 and seed is None:
         raise ValueError("fused_res_stack: dropout > 0 requires a seed")
-    seed_arr = (seed.reshape(1, 1).astype(jnp.int32) if seed is not None
-                else jnp.zeros((1, 1), jnp.int32))
+    # seed_arr packs [seed, batch_row_offset]; the offset shifts the mask's
+    # batch keys to GLOBAL row indices under shard_map (0 on one device)
+    seed_arr = jnp.concatenate(
+        [(seed.reshape(1, 1).astype(jnp.int32) if seed is not None
+          else jnp.zeros((1, 1), jnp.int32)),
+         jnp.zeros((1, 1), jnp.int32)], axis=1)
     # activation stash: big phase-2 FLOP savings, but it adds
     # 2*L*Bt*E*G2 bf16 of VMEM — auto-enable only when the conservative
     # estimate fits the chip (flagship 24L/2048-tile does NOT; measured
@@ -557,9 +563,13 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     from jax.sharding import PartitionSpec as P
 
     def body(x0_l, c_l, gb_l, seed_l, *ws):
-        # per-device mask decorrelation: shard_map sees LOCAL batch indices,
-        # so fold the device's data-axis position into the seed
-        seed_l = seed_l + jax.lax.axis_index(data_axis).astype(jnp.int32)
+        # shard_map sees LOCAL batch indices; pass the device's global row
+        # offset so masks are keyed on GLOBAL rows — sharded dropout is then
+        # bit-identical to the single-device run (a plain seed+axis_index
+        # offset aliased masks across devices via XOR, ADVICE r4)
+        boff = jax.lax.axis_index(data_axis).astype(jnp.int32) * \
+            np.int32(B_loc)
+        seed_l = seed_l + boff * jnp.array([[0, 1]], jnp.int32)
         return _fused_vjp(x0_l, c_l, gb_l, seed_l, *ws, st)
 
     in_specs = (P(data_axis),
@@ -628,7 +638,7 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                gb_ref,                       # (L, Bt, G) f32 or (1,1,1)
                dsk_ref,                      # (1, Bt, E, S) f32 (zero pad)
                hm_ref,                       # (1, 1, E, 1) f32 home mask
-               seed_ref,                     # (1, 1) int32 (SMEM)
+               seed_ref,                     # (1, 2) int32 (SMEM): seed, boff
                bnd_ref,                      # (1, L, Bt, pad, R) dtype
                w_in_ref, b_in_ref, w_cond_ref, w_og_ref, b_og_ref,
                dx0_ref,                      # out (1, Bt, Tt, R) f32
@@ -666,7 +676,8 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
 
         if has_drop:
             seed = seed_ref[0, 0]
-            b0 = bi * Bt
+            # seed_ref[0, 1] = global row offset of this shard (shard_map)
+            b0 = bi * Bt + seed_ref[0, 1]
             t0k = ti * Tt - pad + H          # key of xp position 0
 
         def make_xp(xf, l):
@@ -842,7 +853,7 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
                               drop=st.drop,
                               act_stash=st.act_stash)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1, 1), lambda bi, ti: (0, 0),
+    seed_spec = pl.BlockSpec((1, 2), lambda bi, ti: (0, 0),
                              memory_space=pltpu.SMEM)
     bnd_spec = pl.BlockSpec((1, L, Bt, pad, R),
                             lambda bi, ti: (ti * stride, 0, bi, 0, 0),
