@@ -430,6 +430,77 @@ def test_fused_gradients_no_act_stash(monkeypatch):
                                    atol=3e-4, rtol=2e-4)
 
 
+def test_vmem_gate_constants_ordered():
+    """The tile/stash gates must sit below the compile-time scoped-VMEM
+    limit (a gate-admitted config must never die in the Mosaic compiler),
+    and the proven/fits boundaries stack above it in order."""
+    assert pt.VMEM_TILE_GATE_BYTES < pt.VMEM_COMPILE_LIMIT_BYTES
+    assert (pt.VMEM_COMPILE_LIMIT_BYTES < pt.BWD_EST_PROVEN_BYTES
+            < pt.FUSED_FITS_GATE_BYTES)
+
+
+def test_middle_zone_config_shrinks_time_tile():
+    """A config whose Bt=1 estimate at the default tile lands between the
+    compile limit and the fits gate (the r4 'untested middle zone') must
+    get a SHRUNK time tile whose estimate is back under the proven
+    boundary — while the flagship (est 124.6MB at its measured-optimal
+    Tt=2048, just under the boundary) keeps its tiles."""
+    from wavenet_vocoder_tpu.config import Config
+    from wavenet_vocoder_tpu.models.wavenet import spec_from_config
+
+    flag = spec_from_config(Config())
+    H = pt.stack_receptive(flag.dilations, flag.kernel_size)
+
+    def est(spec, tt):
+        return pt.bwd_vmem_estimate(
+            L=spec.layers, k=spec.kernel_size, R=spec.residual_channels,
+            G=spec.gate_channels, S=spec.skip_out_channels,
+            cin=spec.cin_channels, Bt=1, E=tt + H, act_stash=False)
+
+    def tiles(spec):
+        return pt.pick_tiles(32, 10240, H, spec.layers,
+                             spec.residual_channels, G=spec.gate_channels,
+                             k=spec.kernel_size, S=spec.skip_out_channels,
+                             cin=spec.cin_channels)
+
+    # flagship: untouched, just under the proven boundary
+    bt, tt = tiles(flag)
+    assert (bt, tt) == (1, 2048), (bt, tt)
+    assert est(flag, 2048) <= pt.BWD_EST_PROVEN_BYTES
+
+    # middle zone (VERDICT r4 #3's construction: widen skip until the
+    # estimate lands between the compile limit and the fits gate)
+    mid = spec_from_config(Config(skip_out_channels=192))
+    e_default = est(mid, 2048)
+    assert pt.VMEM_COMPILE_LIMIT_BYTES < e_default < pt.FUSED_FITS_GATE_BYTES
+    bt, tt = tiles(mid)
+    assert bt == 1 and tt < 2048, (bt, tt)
+    assert est(mid, tt) <= pt.BWD_EST_PROVEN_BYTES
+    assert pt.fused_train_fits(mid, 10240)
+    # explicit caller tt is respected (the tuning escape hatch)
+    bt2, tt2 = pt.pick_tiles(32, 10240, H, mid.layers,
+                             mid.residual_channels, None, 2048,
+                             G=mid.gate_channels, k=mid.kernel_size,
+                             S=mid.skip_out_channels, cin=mid.cin_channels)
+    assert tt2 == 2048
+
+
+def test_bt_repick_after_tt_roundup(monkeypatch):
+    """Env tile overrides that trigger the multiple-of-Tt_f round-up must
+    re-gate Bt at the FINAL backward tile size (ADVICE r4: a Bt chosen
+    under the original tt could re-enter the compile cliffs after the
+    round-up). FUSED_TT=96 with FUSED_TT_F=64 rounds the backward tile to
+    128; the stack must still match the XLA oracle."""
+    monkeypatch.setenv("FUSED_TT", "96")
+    monkeypatch.setenv("FUSED_TT_F", "64")
+    spec = _spec()
+    blocks, x0, c = _setup(spec, B=4, T=96)
+    ref = np.asarray(_xla_stack(blocks, spec, x0, c))
+    got = np.asarray(pt.fused_res_stack(
+        x0, c, blocks, spec, dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
 def test_oversized_config_falls_back_to_xla():
     """A 512-channel config cannot fit the fused backward on one chip —
     apply_wavenet must warn and use the XLA layer loop, matching it

@@ -56,6 +56,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SQRT_HALF = math.sqrt(0.5)
 
+# VMEM budget constants (one place; the relationships are load-bearing):
+#  * VMEM_COMPILE_LIMIT_BYTES is the scoped-VMEM limit both kernels request
+#    from Mosaic (pltpu.CompilerParams). v5e physical VMEM takes >=110MB
+#    fine; 122MB is the measured-safe setting.
+#  * VMEM_TILE_GATE_BYTES gates tile/stash CHOICES (pick_tiles, the
+#    act-stash auto-enable) and must sit BELOW the compile limit — a config
+#    the gates admit must never die in the Mosaic compiler.
+#  * BWD_EST_PROVEN_BYTES is the largest Bt=1/no-stash bwd_vmem_estimate
+#    PROVEN to compile and run on v5e: the flagship's Tt=2048 backward
+#    (est 124.6MB — the estimator overshoots; the kernel fits the 122MB
+#    scoped limit). pick_tiles shrinks Tt until the estimate is back under
+#    this boundary, so middle-zone configs (est above it at the default
+#    tile) ride a proven-size tile instead of dying in the Mosaic
+#    compiler (VERDICT r4 #3).
+#  * FUSED_FITS_GATE_BYTES is fused_train_fits' feasibility cut at Bt=1
+#    AND the minimum time tile — deliberately loose (estimator overshoot
+#    grows at small tiles); only hopeless configs fall back to XLA.
+VMEM_COMPILE_LIMIT_BYTES = 122 * 2 ** 20
+VMEM_TILE_GATE_BYTES = 118 * 2 ** 20
+BWD_EST_PROVEN_BYTES = 126 * 2 ** 20
+FUSED_FITS_GATE_BYTES = 160 * 2 ** 20
+assert VMEM_TILE_GATE_BYTES < VMEM_COMPILE_LIMIT_BYTES
+assert VMEM_COMPILE_LIMIT_BYTES < BWD_EST_PROVEN_BYTES < FUSED_FITS_GATE_BYTES
+
 
 @dataclasses.dataclass(frozen=True)
 class FusedStatics:
@@ -108,10 +132,11 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
         G = 2 * R
     if S is None:
         S = R
+    tt_given = tt is not None
     if tt is None:
         tt = min(_round_up(max(4 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
-        limit = 118 * 2 ** 20
+        limit = VMEM_TILE_GATE_BYTES
         # Bt*E also caps the Mosaic compile: a 12L config at Bt*E ~ 5100
         # sat in the compiler for >45 min through the relay, while the
         # flagship's 2552 compiles in ~20; keep tiles at that proven scale.
@@ -129,6 +154,18 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                                           Bt=cand, E=tt + H,
                                           act_stash=False) <= limit):
                 bt = cand
+        if bt == 1 and not tt_given:
+            # middle-zone configs (estimate above the PROVEN boundary even
+            # at Bt=1): the estimate is ~linear in E = tt + H, so shrink
+            # the time tile until it is back at a proven-to-compile size.
+            # The flagship (est 124.6MB at its measured-optimal Tt=2048)
+            # sits just under the boundary and is untouched. The caller
+            # may round tt back up to pad — the irreducible floor — in
+            # which case the loose fused_train_fits gate decides.
+            while tt > 256 and bwd_vmem_estimate(
+                    L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=1, E=tt + H,
+                    act_stash=False) > BWD_EST_PROVEN_BYTES:
+                tt -= 256
     return bt, tt
 
 
@@ -192,7 +229,7 @@ def fused_train_fits(spec, T: int) -> bool:
         G=spec.gate_channels, S=spec.skip_out_channels,
         cin=spec.cin_channels if spec.has_local_conditioning else -1,
         Bt=1, E=tt + H, act_stash=False)
-    return est <= 160 * 2 ** 20
+    return est <= FUSED_FITS_GATE_BYTES
 
 
 def _mix_bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -285,8 +322,17 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                 bnd_ref[0, l] = bnd_l
             # refresh the carry with this tile's tail BEFORE x advances
             carry[l] = x[:, Tt - pad:].astype(carry.dtype)
+            # round the interior to the CARRY dtype before the dropout
+            # scale so every window position is compute-dtype-rounded at
+            # the same point — the backward then reproduces conv inputs
+            # bit-exactly across forward-tile boundaries under bf16 +
+            # dropout (ADVICE r4: scale-then-round vs round-then-scale
+            # differed by ~1 ulp at carry columns). No-op without dropout
+            # (xpd is cast below anyway) and in f32 tests.
             xp = jnp.concatenate(
-                [bnd_l.astype(jnp.float32), x], axis=1)  # (Bt, pad+Tt, R)
+                [bnd_l.astype(jnp.float32),
+                 x.astype(carry.dtype).astype(jnp.float32)],
+                axis=1)                                  # (Bt, pad+Tt, R)
             if has_drop:
                 # dropout on the conv INPUT only; the residual passthrough
                 # uses the un-dropped x (reference: modules.py:126-128).
@@ -386,10 +432,10 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
     if not interpret:
         # the unrolled 24-layer body holds several layers' temporaries live;
         # Mosaic's default 16MB scoped-VMEM limit is far below physical.
-        # Must sit ABOVE the 118MB tile/stash gates (pick_tiles /
-        # bwd_vmem_estimate) or configs the gates admit fail at compile.
+        # Sits ABOVE the tile/stash gates by construction (asserted at the
+        # constant definitions) so gate-admitted configs always compile.
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=122 * 2 ** 20)
+            vmem_limit_bytes=VMEM_COMPILE_LIMIT_BYTES)
     out = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
@@ -508,9 +554,17 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     # a multiple of the forward's
     pad = max((k - 1) * d for d in dils)
     Tt_f = max(Tt_f, _round_up(pad, 8))
+    Tt_b_picked = Tt_b
     Tt_b = max(Tt_b, Tt_f)
     if Tt_b % Tt_f:
         Tt_b = _round_up(Tt_b, Tt_f)
+    if Tt_b != Tt_b_picked and bt_b is None:
+        # the round-up grew the backward tile past the size Bt_b was gated
+        # under (rows cap / VMEM estimate) — re-pick Bt at the FINAL Tt_b
+        # so env/caller Tt overrides can't re-enter the Mosaic compile
+        # cliffs with a stale Bt (ADVICE r4)
+        Bt_b = pick_tiles(B_loc, T, H, L, R, None, Tt_b, G=G, k=k, S=S,
+                          cin=max(cin, -1))[0]
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
         folded_blocks, spec, dtype=dtype)
@@ -549,7 +603,7 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     else:
         act_stash = bwd_vmem_estimate(
             L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=Bt_b, E=E_b,
-            act_stash=True) <= 118 * 2 ** 20
+            act_stash=True) <= VMEM_TILE_GATE_BYTES
 
     st = FusedStatics(L=L, k=k, R=R, G=G, S=S,
                       cin=(cin if c is not None else -1), has_g=has_g,
@@ -682,9 +736,12 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
 
         def make_xp(xf, l):
             """Conv input (Bt, pad+E, R) dtype = [bnd_l | xf] with the
-            forward's dropout applied; also returns the (pad+E) mask."""
+            forward's dropout applied; also returns the (pad+E) mask.
+            xf is rounded to the compute dtype BEFORE the mask scale,
+            mirroring the forward exactly (see the forward's note)."""
             xp = jnp.concatenate(
-                [bnd_ref[0, l].astype(jnp.float32), xf], axis=1)
+                [bnd_ref[0, l].astype(jnp.float32),
+                 xf.astype(dtype).astype(jnp.float32)], axis=1)
             if has_drop:
                 m = dropout_mask(seed, Bt=Bt, E=pad + E, R=R, L=L, l=l,
                                  b0=b0, t0=t0k, keep=keep)
@@ -909,9 +966,9 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
 
     compiler_params = None
     if not interpret:
-        # above the 118MB gates; see the forward's note
+        # above the tile/stash gates; see the forward's note
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=122 * 2 ** 20)
+            vmem_limit_bytes=VMEM_COMPILE_LIMIT_BYTES)
     outs = pl.pallas_call(
         kernel,
         grid=(n_bt, n_tt),
