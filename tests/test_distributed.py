@@ -170,3 +170,83 @@ def test_two_process_train_loop_end_to_end(tmp_path):
     assert (ckpt / "checkpoint_latest.npz").exists()
     assert (ckpt / "hparams.json").exists()
     assert (ckpt / "log" / "metrics.jsonl").exists()
+
+
+def test_two_process_evaluate_writes_disjoint_shards(tmp_path):
+    """Multi-process evaluate (VERDICT r4 #8): the utterance list is
+    strided per process (SURVEY section 5.8 — synthesis is collective-free
+    across utterances), so two processes must write DISJOINT wav sets whose
+    union covers the corpus, plus per-process shard manifests."""
+    import jax
+
+    # tiny mulaw preset; upsample derives generation length from the mel
+    preset = {
+        "name": "wavenet_vocoder",
+        "input_type": "mulaw-quantize", "quantize_channels": 256,
+        "out_channels": 256, "sample_rate": 16000, "hop_size": 128,
+        "num_mels": 8, "cin_channels": 8, "cin_pad": 0,
+        "upsample_conditional_features": True,
+        "upsample_params": {"upsample_scales": [4, 4, 8]},
+        "layers": 2, "stacks": 1, "residual_channels": 8,
+        "gate_channels": 8, "skip_out_channels": 8,
+        "compute_dtype": "", "lr_schedule": "",
+    }
+    preset_path = tmp_path / "preset.json"
+    preset_path.write_text(json.dumps(preset))
+
+    from wavenet_vocoder_tpu.config import load_config
+    from wavenet_vocoder_tpu.training.checkpoint import save_checkpoint
+    from wavenet_vocoder_tpu.training.train_state import create_train_state
+    cfg = load_config(str(preset_path), "")
+    state = create_train_state(cfg)
+    ckpt_dir = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt_dir), state, global_step=0)
+    ckpt = str(ckpt_dir / "checkpoint_latest.npz")
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    rs = np.random.RandomState(0)
+    n_utt = 6
+    for i in range(n_utt):
+        np.save(dump / f"u{i}-feats.npy",
+                rs.randn(4 + i % 2, 8).astype(np.float32))
+
+    out_dir = tmp_path / "generated"
+    port = _free_port()
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": REPO,
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs, logs = [], []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "wavenet_vocoder_tpu.cli.evaluate",
+             str(dump), ckpt, str(out_dir), "--preset", str(preset_path),
+             "--batch-size", "2", "--engine", "scan",
+             "--coordinator-address", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("evaluate worker timed out")
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"evaluate worker failed:\n{log[-4000:]}"
+
+    gens = sorted(f for f in os.listdir(out_dir) if f.endswith("_gen.wav"))
+    assert len(gens) == n_utt, gens
+    # per-process manifests exist and partition the corpus disjointly
+    shard_lists = []
+    for pid in range(2):
+        mpath = out_dir / f"eval_manifest.proc{pid}.txt"
+        assert mpath.exists()
+        shard_lists.append(mpath.read_text().split())
+    assert len(shard_lists[0]) + len(shard_lists[1]) == n_utt
+    assert not set(shard_lists[0]) & set(shard_lists[1])
+    assert sorted(shard_lists[0] + shard_lists[1]) == gens

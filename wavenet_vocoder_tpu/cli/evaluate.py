@@ -60,7 +60,28 @@ def main(argv=None) -> None:
     p.add_argument("--mesh", action="store_true",
                    help="shard utterance batches over all local devices "
                         "(data axis; works with both engines)")
+    # multi-process evaluation: the utterance list is sharded per process
+    # (SURVEY.md section 5.8 — batched synthesis is embarrassingly parallel
+    # across utterances, no collectives; the reference's evaluate.py is
+    # single-device). Same flag surface as cli/train.py.
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-process cluster "
+                        "(jax.distributed.initialize autodetect)")
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (implies --distributed)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+    pidx, pcount = 0, 1
+    if (args.distributed or args.coordinator_address is not None
+            or args.num_processes is not None
+            or args.process_id is not None):
+        from wavenet_vocoder_tpu.parallel import initialize_distributed
+        pidx, pcount = initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+        print(f"distributed evaluate: process {pidx}/{pcount}")
     if args.engine == "auto":
         args.engine = ("pallas" if jax.default_backend() in ("tpu", "axon")
                        else "scan")
@@ -87,7 +108,10 @@ def main(argv=None) -> None:
     n_dev = 1
     if args.mesh:
         from wavenet_vocoder_tpu.parallel import make_mesh
-        mesh = make_mesh({"data": -1})
+        # under --distributed each process meshes its LOCAL devices only —
+        # synthesis is collective-free, so processes stay independent
+        mesh = make_mesh({"data": -1}, devices=(
+            jax.local_devices() if pcount > 1 else None))
         n_dev = mesh.shape["data"]
         print(f"Sharding utterance batches over {n_dev} devices")
     synth = Synthesizer(params, cfg, spec=spec, engine=args.engine,
@@ -128,9 +152,26 @@ def main(argv=None) -> None:
         n_frames = {f: int(np.load(f, mmap_mode="r").shape[0])
                     for f in feats}
         feats = sorted(feats, key=lambda f: (n_frames[f], f))
+    if pcount > 1:
+        # disjoint per-process utterance stride (same striding as
+        # WaveNetDataset.shard, applied AFTER the length sort so every
+        # process gets a balanced length mix; no truncation needed —
+        # synthesis has no cross-process collectives to keep in lockstep)
+        feats = feats[pidx::pcount]
+        print(f"process {pidx}: {len(feats)} utterances")
     hop = audio.get_hop_size(cfg)
     mu = cfg.quantize_channels - 1
     rng = jax.random.PRNGKey(args.seed)
+
+    def out_name(fpath):
+        # (reference: evaluate.py:208-220 speaker-prefixed names)
+        name = os.path.basename(fpath).replace("-feats.npy", "")
+        if multi_speaker and (args.speaker_id is not None
+                              or spec.has_global_conditioning):
+            sid = (args.speaker_id if args.speaker_id is not None
+                   else speaker_of.get(os.path.basename(fpath), 0))
+            name = f"speaker{int(sid)}_{name}"
+        return name
 
     for i in range(0, len(feats), batch_size):
         chunk = feats[i:i + batch_size]
@@ -159,10 +200,7 @@ def main(argv=None) -> None:
         wavs = synth(c, g=g, rng=jax.random.fold_in(rng, i),
                      pad_context=False)[:len(mels)]
         for j, fpath in enumerate(chunk):
-            name = os.path.basename(fpath).replace("-feats.npy", "")
-            if g is not None and multi_speaker:
-                # (reference: evaluate.py:208-220 speaker-prefixed names)
-                name = f"speaker{int(g[j])}_{name}"
+            name = out_name(fpath)
             T_j = mels[j].shape[0] * hop
             audio.save_wav(wavs[j][:T_j],
                            os.path.join(args.out_dir, f"{name}_gen.wav"),
@@ -184,6 +222,15 @@ def main(argv=None) -> None:
                 audio.save_wav(ref, os.path.join(
                     args.out_dir, f"{name}_ref.wav"), cfg.sample_rate)
         print(f"[{min(i + batch_size, len(feats))}/{len(feats)}] done")
+
+    # output manifest: single-process writes eval_manifest.txt; under
+    # --distributed each process writes only its OWN (disjoint) shard
+    # manifest — no two processes ever write the same file
+    names = [out_name(fpath) for fpath in feats]
+    mname = ("eval_manifest.txt" if pcount == 1
+             else f"eval_manifest.proc{pidx}.txt")
+    with open(os.path.join(args.out_dir, mname), "w") as f:
+        f.write("".join(f"{n}_gen.wav\n" for n in names))
 
 
 if __name__ == "__main__":
