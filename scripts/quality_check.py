@@ -27,13 +27,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--heads", default="mulaw256,mol,gaussian")
+    ap.add_argument("--fault", default="none",
+                    help="inject a kernel fault (WN_FAULT) — use ONE head "
+                         "per process for this (kernels cache at build "
+                         "time); the run must then FAIL")
     args = ap.parse_args()
 
     results = {}
     for head in args.heads.split(","):
         print(f"\n===== head: {head} =====", flush=True)
         t0 = time.time()
-        rc = synthetic_e2e.main(["--head", head, "--steps", str(args.steps)])
+        rc = synthetic_e2e.main(["--head", head, "--steps", str(args.steps),
+                                 "--fault", args.fault])
         results[head] = (rc, time.time() - t0)
 
     print("\n===== quality summary =====")

@@ -46,6 +46,18 @@ def dominant_f0(x: np.ndarray, sr: int) -> float:
     return float(freqs[lo][np.argmax(spec[lo])])
 
 
+def mel_distance(mel_a: np.ndarray, mel_b: np.ndarray,
+                 trim: int = 4) -> float:
+    """Mean per-frame L2 distance between two log-mel spectrograms (an
+    MCD-style spectral metric; frames trimmed at both ends to skip the
+    generator's warm-up and edge effects). Robust to the sample-level
+    jitter that F0 tracking alone cannot see through, and sensitive to the
+    broadband/formant errors F0 alone cannot catch (VERDICT r4 #4)."""
+    n = min(mel_a.shape[0], mel_b.shape[0]) - trim
+    a, b = mel_a[trim:n], mel_b[trim:n]
+    return float(np.mean(np.linalg.norm(a - b, axis=-1)))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
@@ -53,6 +65,17 @@ def main(argv=None) -> int:
     ap.add_argument("--head", default="mulaw256",
                     choices=("mulaw256", "mol", "gaussian"))
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--f0-tol", type=float, default=0.05,
+                    help="relative F0-tracking tolerance (r4 ran at 0.15; "
+                         "tightened per VERDICT r4 #4)")
+    ap.add_argument("--mel-tol", type=float, default=None,
+                    help="absolute log-mel distance ceiling; default is "
+                         "per-head (calibrated on v5e, see docs/VALIDATION.md)")
+    ap.add_argument("--fault", default="none",
+                    choices=("none", "bwd_mask_tshift", "bwd_bnd_roll"),
+                    help="inject a deliberate kernel fault (sets WN_FAULT "
+                         "for the fused backward) to prove the net FAILS on "
+                         "a subtle gradient bug; see ops/pallas_train.py")
     # production paths by default: the fused residual-stack TRAIN kernel
     # (ops/pallas_train.py) and the fused pallas GENERATION kernel — so
     # kernel changes are what this check validates. --xla flips both to
@@ -60,6 +83,10 @@ def main(argv=None) -> int:
     ap.add_argument("--xla", action="store_true",
                     help="use the XLA train path + scan generation engine")
     args = ap.parse_args(argv)
+    if args.fault != "none":
+        os.environ["WN_FAULT"] = args.fault
+        print(f"FAULT INJECTION: WN_FAULT={args.fault} "
+              "(this run is EXPECTED to fail)")
 
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -97,6 +124,10 @@ def main(argv=None) -> int:
         upsample_conditional_features=True,
         upsample_params={"upsample_scales": [4, 4, 8]},
         batch_size=8, lr_schedule="", fused_train=not args.xla,
+        # dropout exercises the production kernels' counter-based mask path
+        # end-to-end (the reference WaveNet class default, wavenet.py:102)
+        # and is what makes the bwd_mask_tshift fault injectable
+        dropout=0.05,
         optimizer_params={"lr": args.lr, "eps": 1e-8, "weight_decay": 0.0},
         **head_cfg)
     spec = spec_from_config(cfg)
@@ -186,8 +217,24 @@ def main(argv=None) -> int:
 
     f0_gen = dominant_f0(wav[2000:], sr)
     f0_ref = dominant_f0(test_wav, sr)
+    # spectral check (VERDICT r4 #4): the generated waveform's log-mel must
+    # sit close to the HELD-OUT conditioning target, and closer to it than
+    # to every decoy (other F0s from the training set) — a relative margin
+    # that catches broadband/formant corruption F0 tracking misses
+    mel_gen = dsp.logmelspectrogram(wav, cfg)
+    d_ref = mel_distance(mel_gen, test_mel)
+    decoys = [f for f in f0s if abs(f - f0_test) > 30]
+    d_decoys = []
+    for f in decoys:
+        dec_wav = make_utterance(f, sr, 1.5, np.random.RandomState(7))
+        d_decoys.append(mel_distance(mel_gen,
+                                     dsp.logmelspectrogram(dec_wav, cfg)))
+    d_margin = min(d_decoys) / max(d_ref, 1e-6)
     print(f"\nloss: {first:.3f} -> {final_loss:.3f}")
-    print(f"held-out F0: reference {f0_ref:.1f} Hz, generated {f0_gen:.1f} Hz")
+    print(f"held-out F0: reference {f0_ref:.1f} Hz, generated {f0_gen:.1f} Hz "
+          f"({abs(f0_gen - f0_ref) / f0_ref * 100:.1f}% off)")
+    print(f"log-mel distance: to target {d_ref:.3f}, nearest decoy "
+          f"{min(d_decoys):.3f} (margin {d_margin:.2f}x)")
     out_wav = f"/tmp/synthetic_e2e_{args.head}_gen.wav"
     dsp.save_wav(wav, out_wav, sr)
     print(f"wrote {out_wav}")
@@ -201,10 +248,27 @@ def main(argv=None) -> int:
         ok_loss = final_loss < first - 1.0
     else:
         ok_loss = final_loss < first * 0.5
-    ok_f0 = abs(f0_gen - f0_ref) < 0.15 * f0_ref
+    ok_f0 = abs(f0_gen - f0_ref) < args.f0_tol * f0_ref
+    # per-head ceilings calibrated on v5e @1500 steps (docs/VALIDATION.md
+    # r5 record): pass-with-margin for healthy kernels, fail on injected
+    # gradient faults
+    mel_tol = args.mel_tol if args.mel_tol is not None else {
+        "mulaw256": 2.4, "mol": 2.4, "gaussian": 2.6}[args.head]
+    ok_mel = d_ref < mel_tol and d_margin > 1.3
+    import json as _json
+    print(_json.dumps({"head": args.head, "loss_first": round(first, 3),
+                       "loss_final": round(final_loss, 3),
+                       "f0_ref": round(f0_ref, 1),
+                       "f0_gen": round(f0_gen, 1),
+                       "mel_dist": round(d_ref, 3),
+                       "mel_margin": round(d_margin, 2),
+                       "fault": args.fault}))
     print(f"loss-drop check: {'PASS' if ok_loss else 'FAIL'}; "
-          f"F0-tracking check: {'PASS' if ok_f0 else 'FAIL'}")
-    return 0 if (ok_loss and ok_f0) else 1
+          f"F0-tracking check ({args.f0_tol:.0%}): "
+          f"{'PASS' if ok_f0 else 'FAIL'}; "
+          f"log-mel check (<{mel_tol}, margin>1.3x): "
+          f"{'PASS' if ok_mel else 'FAIL'}")
+    return 0 if (ok_loss and ok_f0 and ok_mel) else 1
 
 
 if __name__ == "__main__":

@@ -603,3 +603,35 @@ def test_fused_train_step_with_dropout_runs():
     assert np.isfinite(float(m["loss"]))
     assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]),
                            np.asarray(p0))
+
+
+def test_fault_injection_corrupts_gradients(monkeypatch):
+    """The WN_FAULT knobs (used by scripts/quality_check.py to prove the
+    quality net can fail) must actually perturb the backward: gradients
+    with a fault differ from healthy ones; healthy runs are unaffected."""
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(7)
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def grad_with(fault):
+        jax.clear_caches()  # WN_FAULT is read at kernel-BUILD time
+        if fault:
+            monkeypatch.setenv("WN_FAULT", fault)
+        else:
+            monkeypatch.delenv("WN_FAULT", raising=False)
+
+        def loss(x0_):
+            return jnp.sum(pt.fused_res_stack(
+                x0_, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
+                dropout=0.3, seed=SEED, interpret=True) * w)
+        return np.asarray(jax.grad(loss)(x0))
+
+    g_ok = grad_with(None)
+    g_ok2 = grad_with(None)
+    np.testing.assert_array_equal(g_ok, g_ok2)
+    for fault in ("bwd_mask_tshift", "bwd_bnd_roll"):
+        g_bad = grad_with(fault)
+        assert np.abs(g_bad - g_ok).max() > 1e-4, fault
+    grad_with(None)  # leave the process fault-free

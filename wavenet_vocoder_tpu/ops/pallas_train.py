@@ -687,6 +687,15 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
     pad = max((k - 1) * d for d in dils)
     H = stack_receptive(dils, k)
 
+    # test-only fault injection (WN_FAULT env, read at kernel-BUILD time —
+    # set it before the first jitted step of the process): deliberately
+    # subtle gradient bugs the quality net (scripts/quality_check.py) must
+    # catch. "bwd_mask_tshift" regenerates the dropout mask one position
+    # off (fwd/bwd mask mismatch); "bwd_bnd_roll" rolls the boundary stash
+    # by one time position (off-by-one x-chain reconstruction).
+    import os as _osf
+    fault = _osf.environ.get("WN_FAULT", "")
+
     def kernel(x0_ref,                       # (1, Bt, E, R)  E = Tt + H
                c_ref,                        # (1, Bt, E, cin) or dummy
                gb_ref,                       # (L, Bt, G) f32 or (1,1,1)
@@ -733,14 +742,19 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             # seed_ref[0, 1] = global row offset of this shard (shard_map)
             b0 = bi * Bt + seed_ref[0, 1]
             t0k = ti * Tt - pad + H          # key of xp position 0
+            if fault == "bwd_mask_tshift":
+                t0k = t0k + 1                # DELIBERATE fwd/bwd mismatch
 
         def make_xp(xf, l):
             """Conv input (Bt, pad+E, R) dtype = [bnd_l | xf] with the
             forward's dropout applied; also returns the (pad+E) mask.
             xf is rounded to the compute dtype BEFORE the mask scale,
             mirroring the forward exactly (see the forward's note)."""
+            bnd_l = bnd_ref[0, l].astype(jnp.float32)
+            if fault == "bwd_bnd_roll":
+                bnd_l = jnp.roll(bnd_l, 1, axis=1)  # DELIBERATE off-by-one
             xp = jnp.concatenate(
-                [bnd_ref[0, l].astype(jnp.float32),
+                [bnd_l,
                  xf.astype(dtype).astype(jnp.float32)], axis=1)
             if has_drop:
                 m = dropout_mask(seed, Bt=Bt, E=pad + E, R=R, L=L, l=l,
