@@ -322,16 +322,17 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                 bnd_ref[0, l] = bnd_l
             # refresh the carry with this tile's tail BEFORE x advances
             carry[l] = x[:, Tt - pad:].astype(carry.dtype)
-            # round the interior to the CARRY dtype before the dropout
-            # scale so every window position is compute-dtype-rounded at
-            # the same point — the backward then reproduces conv inputs
-            # bit-exactly across forward-tile boundaries under bf16 +
-            # dropout (ADVICE r4: scale-then-round vs round-then-scale
-            # differed by ~1 ulp at carry columns). No-op without dropout
-            # (xpd is cast below anyway) and in f32 tests.
+            # Under dropout, round the interior to the CARRY dtype before
+            # the mask scale so every window position is compute-dtype-
+            # rounded at the same point — the backward then reproduces conv
+            # inputs bit-exactly across forward-tile boundaries under bf16
+            # (ADVICE r4: scale-then-round vs round-then-scale differed by
+            # ~1 ulp at carry columns). Without dropout the later xpd cast
+            # already rounds identically — skip the extra casts there.
+            x_rt = (x.astype(carry.dtype).astype(jnp.float32)
+                    if has_drop else x)
             xp = jnp.concatenate(
-                [bnd_l.astype(jnp.float32),
-                 x.astype(carry.dtype).astype(jnp.float32)],
+                [bnd_l.astype(jnp.float32), x_rt],
                 axis=1)                                  # (Bt, pad+Tt, R)
             if has_drop:
                 # dropout on the conv INPUT only; the residual passthrough
@@ -748,14 +749,14 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         def make_xp(xf, l):
             """Conv input (Bt, pad+E, R) dtype = [bnd_l | xf] with the
             forward's dropout applied; also returns the (pad+E) mask.
-            xf is rounded to the compute dtype BEFORE the mask scale,
-            mirroring the forward exactly (see the forward's note)."""
+            Under dropout, xf is rounded to the compute dtype BEFORE the
+            mask scale, mirroring the forward exactly (forward's note)."""
             bnd_l = bnd_ref[0, l].astype(jnp.float32)
             if fault == "bwd_bnd_roll":
                 bnd_l = jnp.roll(bnd_l, 1, axis=1)  # DELIBERATE off-by-one
-            xp = jnp.concatenate(
-                [bnd_l,
-                 xf.astype(dtype).astype(jnp.float32)], axis=1)
+            xf_rt = (xf.astype(dtype).astype(jnp.float32)
+                     if has_drop else xf)
+            xp = jnp.concatenate([bnd_l, xf_rt], axis=1)
             if has_drop:
                 m = dropout_mask(seed, Bt=Bt, E=pad + E, R=R, L=L, l=l,
                                  b0=b0, t0=t0k, keep=keep)
