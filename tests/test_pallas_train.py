@@ -635,3 +635,82 @@ def test_fault_injection_corrupts_gradients(monkeypatch):
         g_bad = grad_with(fault)
         assert np.abs(g_bad - g_ok).max() > 1e-4, fault
     grad_with(None)  # leave the process fault-free
+
+
+def test_fused_gradients_xs_hbm(monkeypatch):
+    """xs_hbm=True (backward phase 1 replaced by the forward's HBM x-stash,
+    VERDICT r4 #6): outputs AND all gradients must match the masked-XLA
+    oracle, including with dropout and with backward tiles larger than the
+    forward's (halo heads read from the NEXT tile's stash)."""
+    monkeypatch.setenv("FUSED_ACT_STASH", "0")
+    monkeypatch.setenv("FUSED_XS_HBM", "1")
+    jax.clear_caches()
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=160)
+    rs = np.random.RandomState(7)
+    w = jnp.asarray(rs.randn(2, 160, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def loss_fused(blocks, x0, c):
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, blocks, spec, dtype=jnp.float32, Bt=2, Tt=32,
+            dropout=0.3, seed=SEED, interpret=True) * w)
+
+    def loss_xla(blocks, x0, c):
+        return jnp.sum(_xla_stack_masked(blocks, spec, x0, c, SEED, 0.3) * w)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(blocks, x0, c)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(blocks, x0, c)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+
+    # no dropout + global conditioning through the same path
+    g2 = jnp.asarray(np.random.RandomState(3).randn(2, 6).astype(np.float32))
+    spec_g = _spec(gin_channels=6, use_speaker_embedding=False)
+    blocks_g, x0g, cg = _setup(spec_g, T=160)
+
+    def loss_fused_g(blocks, x0, c, g):
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, blocks, spec_g, g=g, dtype=jnp.float32, Bt=1, Tt=64,
+            interpret=True) * w[:, :, :spec_g.skip_out_channels])
+
+    def loss_xla_g(blocks, x0, c, g):
+        return jnp.sum(_xla_stack(blocks, spec_g, x0, c, g)
+                       * w[:, :, :spec_g.skip_out_channels])
+
+    g_ref = jax.grad(loss_xla_g, argnums=(0, 1, 2, 3))(blocks_g, x0g, cg, g2)
+    g_got = jax.grad(loss_fused_g, argnums=(0, 1, 2, 3))(blocks_g, x0g, cg,
+                                                         g2)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+    jax.clear_caches()  # drop env-dependent kernels from the jit cache
+
+
+def test_fused_forward_value_xs_hbm_matches(monkeypatch):
+    """The primal value under xs_hbm equals the plain path (the extra
+    stash outputs must not perturb skips) across uneven T/tile shapes."""
+    monkeypatch.setenv("FUSED_ACT_STASH", "0")
+    jax.clear_caches()
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=100)
+    w = jnp.asarray(np.random.RandomState(1)
+                    .randn(2, 100, spec.skip_out_channels).astype(np.float32))
+
+    def val(xs):
+        monkeypatch.setenv("FUSED_XS_HBM", "1" if xs else "0")
+        jax.clear_caches()
+
+        def loss(x0_):
+            return jnp.sum(pt.fused_res_stack(
+                x0_, c, blocks, spec, dtype=jnp.float32, Bt=1, Tt=32,
+                dropout=0.2, seed=SEED, interpret=True) * w)
+        v, g = jax.value_and_grad(loss)(x0)
+        return np.asarray(v), np.asarray(g)
+
+    v0, g0 = val(False)
+    v1, g1 = val(True)
+    np.testing.assert_allclose(v1, v0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, atol=2e-5, rtol=1e-5)
+    jax.clear_caches()

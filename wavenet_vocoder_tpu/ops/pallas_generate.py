@@ -209,6 +209,12 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
     distribution = spec.output_distribution
     chain = variant == "chain"
     split_taps = variant == "split_taps"
+    # timing-knockout instrumentation (scripts/knockout_gen.py): disables
+    # ONE op class to attribute step time inside the fused kernel (Pallas
+    # ops are opaque to the profiler). Output is WRONG under any knockout —
+    # never set GEN_KNOCKOUT in production. Read at kernel-BUILD time.
+    import os as _os
+    knockout = _os.environ.get("GEN_KNOCKOUT", "")
 
     def kernel(seed_ref,                      # SMEM (1,) or (2,): [seed, t0]
                x0_ref,                        # (B, C_in) initial/carried input
@@ -265,7 +271,10 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
 
             ct = None
             if has_cond:
-                ct = cond_ref[j]                        # (B, cin)
+                # knockout "cond_static": fixed row isolates the per-step
+                # dynamic conditioning-slice cost
+                ct = cond_ref[0] if knockout == "cond_static" \
+                    else cond_ref[j]                    # (B, cin)
 
             skips = jnp.zeros((B, S), jnp.float32)
             if chain:
@@ -324,13 +333,17 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                     off = offs[li]
                     taps = []
                     for jj in range(k - 1, 0, -1):
-                        row = off + (t - jj * d) % Ll
+                        # knockout "reads": static ring rows isolate the
+                        # dynamic-address read cost
+                        row = off if knockout == "reads" \
+                            else off + (t - jj * d) % Ll
                         taps.append(buf_ref[pl.ds(row, 1)][0])   # (B, R) f32
                     # write current input AFTER reads (evicts x[t - Ll]).
                     # Buffer storage may be bf16: past taps only ever feed
                     # matmuls of that dtype, so narrowing loses nothing.
-                    buf_ref[pl.ds(off + t % Ll, 1)] = \
-                        h[None].astype(buf_ref.dtype)
+                    if knockout not in ("writes", "chainfree"):
+                        buf_ref[pl.ds(off + t % Ll, 1)] = \
+                            h[None].astype(buf_ref.dtype)
                     taps.append(h.astype(buf_ref.dtype))
                     if has_cond:
                         taps.append(ct.astype(buf_ref.dtype))
@@ -357,7 +370,10 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                     if has_gate:
                         z = z + g_gate_ref[li]
                     a, b = z[:, :G2], z[:, G2:]
-                    gated = jnp.tanh(a) * jax.nn.sigmoid(b)      # (B, G2) f32
+                    # knockout "glu": one multiply instead of the two
+                    # transcendentals — isolates VPU tanh/sigmoid cost
+                    gated = (a * 0.125 if knockout == "glu"
+                             else jnp.tanh(a) * jax.nn.sigmoid(b))
 
                     y = jnp.dot(gated.astype(w_og_ref.dtype), w_og_ref[li],
                                 preferred_element_type=jnp.float32)
@@ -366,12 +382,18 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                     h = (y[:, :R] + h) * sqrt_half
 
             skips = skips * sqrt_inv_L
-            o = jnp.maximum(skips, 0.0)
-            o = jnp.dot(o.astype(w_h1_ref.dtype), w_h1_ref[...],
-                        preferred_element_type=jnp.float32) + b_h1_ref[...]
-            o = jnp.maximum(o, 0.0)
-            o = jnp.dot(o.astype(w_h2_ref.dtype), w_h2_ref[...],
-                        preferred_element_type=jnp.float32) + b_h2_ref[...]
+            if knockout == "head" and S >= C_out:
+                # skip the two head matmuls (isolates head cost)
+                o = skips[:, :C_out]
+            else:
+                o = jnp.maximum(skips, 0.0)
+                o = jnp.dot(o.astype(w_h1_ref.dtype), w_h1_ref[...],
+                            preferred_element_type=jnp.float32) \
+                    + b_h1_ref[...]
+                o = jnp.maximum(o, 0.0)
+                o = jnp.dot(o.astype(w_h2_ref.dtype), w_h2_ref[...],
+                            preferred_element_type=jnp.float32) \
+                    + b_h2_ref[...]
             # o: (B, C_out) f32
 
             if scalar:
@@ -419,7 +441,8 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                         sample = mean + jnp.exp(ls) * z0
                 sample = jnp.clip(sample, -1.0, 1.0)
                 out_ref[j] = sample
-                x_cur_ref[...] = sample[:, None]
+                if knockout != "chainfree":  # break AR feedback for timing
+                    x_cur_ref[...] = sample[:, None]
             else:
                 if deterministic:
                     code = jnp.argmax(o, axis=-1)
@@ -428,9 +451,10 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                     u = _uniform_from_bits(pltpu.bitcast(bits, jnp.uint32))
                     code = jnp.argmax(o - jnp.log(-jnp.log(u)), axis=-1)
                 out_ref[j] = code.astype(jnp.int32)
-                x_cur_ref[...] = (jax.lax.broadcasted_iota(
-                    jnp.int32, (B, C_in), 1) == code[:, None]
-                ).astype(jnp.float32)
+                if knockout != "chainfree":
+                    x_cur_ref[...] = (jax.lax.broadcasted_iota(
+                        jnp.int32, (B, C_in), 1) == code[:, None]
+                    ).astype(jnp.float32)
             return 0
 
         # unroll>1 trades instruction-memory for scheduling freedom: the

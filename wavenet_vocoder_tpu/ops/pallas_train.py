@@ -79,6 +79,10 @@ BWD_EST_PROVEN_BYTES = 126 * 2 ** 20
 FUSED_FITS_GATE_BYTES = 160 * 2 ** 20
 assert VMEM_TILE_GATE_BYTES < VMEM_COMPILE_LIMIT_BYTES
 assert VMEM_COMPILE_LIMIT_BYTES < BWD_EST_PROVEN_BYTES < FUSED_FITS_GATE_BYTES
+# default for the fwd->bwd x-chain HBM stash (FusedStatics.xs_hbm); env
+# FUSED_XS_HBM=0/1 overrides. OFF until measured faster on v5e than the
+# phase-1 recompute path (see DESIGN.md).
+XS_HBM_DEFAULT = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +110,14 @@ class FusedStatics:
     # whole in_proj recompute — costs 2*L*Bt*E*G2 VMEM bytes, so it is
     # auto-enabled only when the estimate fits (see bwd_vmem_estimate)
     act_stash: bool = True
+    # ship every layer's input x_l from the forward to the backward through
+    # HBM (full tiles + per-tile heads) so backward phase 1 — the full
+    # x-chain recompute over the right-extended window — disappears
+    # entirely. Trades HBM bytes (~12x under the roofline at flagship, see
+    # bench.py) for ~1.25x-forward-pass FLOPs (VERDICT r4 #6). Only used
+    # with act_stash=False (the flagship path; with the act stash phase 1
+    # must run anyway to fill it).
+    xs_hbm: bool = False
 
 
 def stack_receptive(dilations: Tuple[int, ...], k: int) -> int:
@@ -121,7 +133,7 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                tt: Optional[int] = None,
                G: Optional[int] = None, *,
                k: int = 3, S: Optional[int] = None,
-               cin: int = -1) -> Tuple[int, int]:
+               cin: int = -1, xs_hbm: bool = False) -> Tuple[int, int]:
     """Pick (Bt, Tt) for the BACKWARD kernel. The right-halo overhead is
     (Tt+H)/Tt, so Tt should be a few x H — measured on v5e (flagship,
     H=504): Tt=2048 beats 1024 and 4096 (the bigger stashes lose more to
@@ -151,8 +163,8 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
                 continue
             if (cand * (tt + H) <= rows
                     and bwd_vmem_estimate(L=L, k=k, R=R, G=G, S=S, cin=cin,
-                                          Bt=cand, E=tt + H,
-                                          act_stash=False) <= limit):
+                                          Bt=cand, E=tt + H, act_stash=False,
+                                          xs_hbm=xs_hbm, H=H) <= limit):
                 bt = cand
         if bt == 1 and not tt_given:
             # middle-zone configs (estimate above the PROVEN boundary even
@@ -164,7 +176,8 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
             # which case the loose fused_train_fits gate decides.
             while tt > 256 and bwd_vmem_estimate(
                     L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=1, E=tt + H,
-                    act_stash=False) > BWD_EST_PROVEN_BYTES:
+                    act_stash=False, xs_hbm=xs_hbm,
+                    H=H) > BWD_EST_PROVEN_BYTES:
                 tt -= 256
     return bt, tt
 
@@ -193,15 +206,22 @@ def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
 
 
 def bwd_vmem_estimate(*, L: int, k: int, R: int, G: int, S: int, cin: int,
-                      Bt: int, E: int, act_stash: bool) -> int:
+                      Bt: int, E: int, act_stash: bool,
+                      xs_hbm: bool = False, H: int = 0) -> int:
     """Rough VMEM bytes for one backward grid step. The body-temporaries
     coefficient is fitted to a measured Mosaic allocation (82.9MB at
     Bt*E=2552, R=128, G=256, S=128 -> ~16*(R+G+S) live f32 channels per
     position); used only to auto-gate the activation stash, so it needs to
-    be conservative, not exact."""
+    be conservative, not exact. With xs_hbm the x-chain arrives as two
+    double-buffered DMA windows (home tile + halo head) instead of the
+    recompute scratch."""
     c = max(cin, 0)
     body = Bt * E * 4 * 16 * (R + G + S)
-    xs = L * Bt * E * R * 2
+    if xs_hbm:
+        # double-buffered (L,Bt,Tt,R) home + (L,Bt,Hp,R) head inputs, bf16
+        xs = 2 * (L * Bt * (E - H) * R * 2 + L * Bt * _round_up(H, 8) * R * 2)
+    else:
+        xs = L * Bt * E * R * 2
     act = 2 * L * Bt * E * (G // 2) * 2 if act_stash else 0
     accums = 4 * (L * k * R * G + L * G + L * c * G
                   + L * (G // 2) * (R + S) + L * (R + S))
@@ -274,13 +294,14 @@ def dropout_mask(seed: jnp.ndarray, *, Bt: int, E: int, R: int, L: int,
 def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int,
                      Tt: int, dtype, drop: float = 0.0,
-                     emit_bnd: bool = False):
+                     emit_bnd: bool = False, emit_xs: bool = False):
     G2 = G // 2
     has_c = cin > 0
     has_drop = drop > 0.0
     keep = 1.0 - drop
     pad = max((k - 1) * d for d in dils)
     H = stack_receptive(dils, k)
+    Hp = _round_up(H, 8)
 
     def kernel(x0_ref,                      # (Bt, Tt, R)
                c_ref,                       # (Bt, Tt, cin) or (1,1,1)
@@ -290,8 +311,13 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                w_cond_ref,                  # (L, cin, G) or (1,1,1)
                w_og_ref, b_og_ref,          # (L, G2, R+S), (L, R+S)
                skips_ref,                   # out (Bt, Tt, S) f32
-               *rest):                      # [bnd out] + carry scratch
-        if emit_bnd:
+               *rest):                      # [bnd/xs outs] + carry scratch
+        if emit_bnd and emit_xs:
+            # xsf: (L, Bt, Tt, R) home tiles of every layer's input;
+            # xsh: (1, L, Bt, Hp, R) per-fwd-tile heads (the backward's
+            # right-halo windows) — together they replace backward phase 1
+            bnd_ref, xsf_ref, xsh_ref, carry = rest
+        elif emit_bnd:
             bnd_ref, carry = rest           # (1, L, Bt, pad, R), scratch
         else:
             (carry,) = rest                 # scratch (L, Bt, pad, R) dtype
@@ -320,6 +346,9 @@ def _make_fwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
             bnd_l = carry[l]                # (Bt, pad, R) in carry dtype
             if emit_bnd:
                 bnd_ref[0, l] = bnd_l
+            if emit_bnd and emit_xs:
+                xsf_ref[l] = x.astype(xsf_ref.dtype)
+                xsh_ref[0, l] = x[:, :Hp].astype(xsh_ref.dtype)
             # refresh the carry with this tile's tail BEFORE x advances
             carry[l] = x[:, Tt - pad:].astype(carry.dtype)
             # Under dropout, round the interior to the CARRY dtype before
@@ -399,9 +428,10 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
     else:
         cp = jnp.zeros((1, 1, 1), dtype)
 
+    emit_xs = bool(emit_bnd and st.xs_hbm)
     kernel = _make_fwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                               dils=dils, Bt=Bt, Tt=Tt, dtype=dtype,
-                              drop=drop, emit_bnd=emit_bnd)
+                              drop=drop, emit_bnd=emit_bnd, emit_xs=emit_xs)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((Bt, Tt, R), lambda bi, ti: (bi, ti, 0),
                           memory_space=pltpu.VMEM)
@@ -428,6 +458,23 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((n_tt, L, B, pad, R), dtype))
+    if emit_xs:
+        # xs arrays are sized for the BACKWARD's padding (T rounded to
+        # Tt_b >= Tt_f): the fwd grid covers only round_up(T, Tt_f) rows;
+        # anything past pairs with zero cotangents in the backward
+        H_tot = stack_receptive(dils, k)
+        Hp = _round_up(H_tot, 8)
+        T_pad_x = _round_up(T, st.Tt_b)
+        n_head = T_pad_x // Tt
+        out_specs = out_specs + (
+            pl.BlockSpec((L, Bt, Tt, R), lambda bi, ti: (0, bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, Bt, Hp, R),
+                         lambda bi, ti: (ti, 0, bi, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((L, B, T_pad_x, R), dtype),
+            jax.ShapeDtypeStruct((n_head, L, B, Hp, R), dtype))
 
     compiler_params = None
     if not interpret:
@@ -449,8 +496,8 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
         compiler_params=compiler_params,
     )(x0p, cp, gb, seed, w_in, b_in, w_cond, w_og, b_og)
     if emit_bnd:
-        skips, bnd = out
-        return skips[:, :T], bnd
+        skips, *aux = out  # (bnd,) or (bnd, xsf, xsh) under xs_hbm
+        return skips[:, :T], tuple(aux)
     return out[:, :T]
 
 
@@ -547,13 +594,24 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     tt_b = Tt if Tt is not None else _env("FUSED_TT")
     bt_f = Bt if Bt is not None else (_env("FUSED_BT_F") or _env("FUSED_BT"))
     tt_f = Tt if Tt is not None else (_env("FUSED_TT_F") or _env("FUSED_TT"))
+    # xs_hbm: ship the x-chain fwd->bwd through HBM so backward phase 1
+    # vanishes (VERDICT r4 #6). Intent is resolved BEFORE tile picking (the
+    # DMA windows change the VMEM estimate); finalized after the act-stash
+    # decision below (stash path still needs phase 1).
+    xs_env = _os.environ.get("FUSED_XS_HBM")
+    xs_want = bool(int(xs_env)) if xs_env else XS_HBM_DEFAULT
     Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b, G=G,
-                            k=k, S=S, cin=max(cin, -1))
+                            k=k, S=S, cin=max(cin, -1), xs_hbm=xs_want)
     Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
     # the forward carry / boundary stash needs Tt >= pad, and the backward
     # reads boundaries written at FORWARD tile starts, so its tile must be
     # a multiple of the forward's
     pad = max((k - 1) * d for d in dils)
+    if xs_want and tt_f is None:
+        # keep the fwd tile <= the bwd tile so a VMEM-shrunk Tt_b is not
+        # rounded back up past the estimate (Tt_b must be a multiple of
+        # Tt_f); explicit overrides are respected
+        Tt_f = min(Tt_f, Tt_b)
     Tt_f = max(Tt_f, _round_up(pad, 8))
     Tt_b_picked = Tt_b
     Tt_b = max(Tt_b, Tt_f)
@@ -565,7 +623,7 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
         # so env/caller Tt overrides can't re-enter the Mosaic compile
         # cliffs with a stale Bt (ADVICE r4)
         Bt_b = pick_tiles(B_loc, T, H, L, R, None, Tt_b, G=G, k=k, S=S,
-                          cin=max(cin, -1))[0]
+                          cin=max(cin, -1), xs_hbm=xs_want)[0]
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
         folded_blocks, spec, dtype=dtype)
@@ -606,11 +664,14 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
             L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=Bt_b, E=E_b,
             act_stash=True) <= VMEM_TILE_GATE_BYTES
 
+    # xs_hbm finalization: only on the no-act-stash path (the stash needs
+    # phase 1 to fill it), and the per-fwd-tile head must fit its tile
+    xs_hbm = bool(xs_want and not act_stash and Tt_f >= _round_up(H, 8))
     st = FusedStatics(L=L, k=k, R=R, G=G, S=S,
                       cin=(cin if c is not None else -1), has_g=has_g,
                       dils=dils, Bt_f=Bt_f, Tt_f=Tt_f, Bt_b=Bt_b, Tt_b=Tt_b,
                       dtype_name=jnp.dtype(dtype).name, interpret=interpret,
-                      drop=drop, act_stash=act_stash)
+                      drop=drop, act_stash=act_stash, xs_hbm=xs_hbm)
     if n_dev == 1:
         return _fused_vjp(x0, c_arr, gb, seed_arr,
                           w_in, b_in, w_cond, w_og, b_og, st)
@@ -643,15 +704,21 @@ def _fused_vjp(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st):
 
 
 def _fused_fwd(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, st):
-    out, bnd = _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og,
+    out, aux = _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og,
                          st=st, emit_bnd=True)
-    return out, (x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd)
+    return out, (x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, aux)
 
 
 def _fused_bwd(st, res, dskips):
-    x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd = res
+    x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, aux = res
+    if st.xs_hbm:
+        bnd, xsf, xsh = aux
+    else:
+        (bnd,) = aux
+        xsf = jnp.zeros((1, 1, 1, 1), jnp.dtype(st.dtype_name))
+        xsh = jnp.zeros((1, 1, 1, 1, 1), jnp.dtype(st.dtype_name))
     grads = _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og,
-                      bnd, dskips.astype(jnp.float32), st=st)
+                      bnd, xsf, xsh, dskips.astype(jnp.float32), st=st)
     # seed is integer-typed: its cotangent is a float0 zero
     dseed = np.zeros((1, 1), jax.dtypes.float0)
     dx0, dc, dgb, dw_in, db_in, dw_cond, dw_og, db_og = grads
@@ -667,7 +734,7 @@ _fused_vjp.defvjp(_fused_fwd, _fused_bwd)
 def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                      has_g: bool, dils: Tuple[int, ...], Bt: int, E: int,
                      Tt: int, dtype, drop: float = 0.0,
-                     act_stash: bool = True):
+                     act_stash: bool = True, xs_hbm: bool = False):
     """Per (bt, tt) tile: reconstruct the x_l chain on the RIGHT-extended
     window [t0, t0+Tt+H) — left history comes EXACTLY from the forward's
     per-layer boundary stash (bnd), so there is no left-halo recompute —
@@ -704,6 +771,8 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                hm_ref,                       # (1, 1, E, 1) f32 home mask
                seed_ref,                     # (1, 2) int32 (SMEM): seed, boff
                bnd_ref,                      # (1, L, Bt, pad, R) dtype
+               xsf_ref,                      # (L, Bt, Tt, R) home x_l | dummy
+               xsh_ref,                      # (1, L, Bt, Hp, R) halo | dummy
                w_in_ref, b_in_ref, w_cond_ref, w_og_ref, b_og_ref,
                dx0_ref,                      # out (1, Bt, Tt, R) f32
                dc_ref,                       # out (1, Bt, Tt, cin)|dummy f32
@@ -711,8 +780,11 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                dw_in_ref, db_in_ref,         # out (L, k*R, G) f32, (L, G)
                dw_cond_ref,                  # out (L, cin, G) f32 | dummy
                dw_og_ref, db_og_ref,         # out (L, G2, R+S), (L, R+S)
-               xs_ref,                       # scratch (L, Bt, E, R)
-               *act_refs):                   # [ta, sb] scratch if act_stash
+               *scratch):                    # [xs] + [ta, sb] per flags
+        if xs_hbm:
+            xs_ref, act_refs = None, list(scratch)
+        else:
+            xs_ref, *act_refs = scratch     # xs: (L, Bt, E, R)
         bi = pl.program_id(0)
         ti = pl.program_id(1)
 
@@ -788,29 +860,38 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
         # skip half is discarded here, so project against w_og[:, :R] alone.
         # The stash makes every position of the window exact (tile 0's
         # boundary columns are true zeros — the forward's carry reset).
-        x = x0_ref[0].astype(jnp.float32)
-        for l in range(L):
-            xs_ref[l] = x.astype(xs_ref.dtype)
-            xpd, _ = make_xp(x, l)
-            z = in_proj(xpd, l)
-            a, b = z[:, :G2], z[:, G2:]
-            ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
-            if act_stash:
-                ta_ref, sb_ref = act_refs
-                ta_ref[l] = ta.reshape(Bt, E, G2).astype(ta_ref.dtype)
-                sb_ref[l] = sb.reshape(Bt, E, G2).astype(sb_ref.dtype)
-            gated = (ta * sb).astype(dtype)
-            y = jnp.dot(gated, w_og_ref[l][:, :R],
-                        preferred_element_type=jnp.float32)
-            x = ((y + b_og_ref[l][:R]).reshape(Bt, E, R)
-                 + x) * _SQRT_HALF
+        # With xs_hbm the whole phase DISAPPEARS: x_l arrives from the
+        # forward's HBM stash (home tile + halo head), bit-exact.
+        if not xs_hbm:
+            x = x0_ref[0].astype(jnp.float32)
+            for l in range(L):
+                xs_ref[l] = x.astype(xs_ref.dtype)
+                xpd, _ = make_xp(x, l)
+                z = in_proj(xpd, l)
+                a, b = z[:, :G2], z[:, G2:]
+                ta, sb = jnp.tanh(a), jax.nn.sigmoid(b)
+                if act_stash:
+                    ta_ref, sb_ref = act_refs
+                    ta_ref[l] = ta.reshape(Bt, E, G2).astype(ta_ref.dtype)
+                    sb_ref[l] = sb.reshape(Bt, E, G2).astype(sb_ref.dtype)
+                gated = (ta * sb).astype(dtype)
+                y = jnp.dot(gated, w_og_ref[l][:, :R],
+                            preferred_element_type=jnp.float32)
+                x = ((y + b_og_ref[l][:R]).reshape(Bt, E, R)
+                     + x) * _SQRT_HALF
 
         # phase 2: top-down grads
         dskips = dsk_ref[0].reshape(Bt * E, S)          # (Bt*E, S) f32
         dx = jnp.zeros((Bt, E, R), jnp.float32)         # d x_{l+1}
         dc_acc = (jnp.zeros((Bt * E, cin), jnp.float32) if has_c else None)
         for l in range(L - 1, -1, -1):
-            xl = xs_ref[l].astype(jnp.float32)          # (Bt, E, R)
+            if xs_hbm:
+                xl = jnp.concatenate(
+                    [xsf_ref[l].astype(jnp.float32),
+                     xsh_ref[0, l][:, :E - Tt].astype(jnp.float32)],
+                    axis=1)                             # (Bt, E, R)
+            else:
+                xl = xs_ref[l].astype(jnp.float32)      # (Bt, E, R)
             xpd, m_l = make_xp(xl, l)
             if act_stash:
                 ta_ref, sb_ref = act_refs
@@ -888,7 +969,7 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
 
 @partial(jax.jit, static_argnames=("st",))
 def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
-              dskips, *, st):
+              xsf, xsh, dskips, *, st):
     L, k, R, G, S = st.L, st.k, st.R, st.G, st.S
     cin, has_g, dils = st.cin, st.has_g, st.dils
     Bt, Tt = st.Bt_b, st.Tt_b
@@ -923,13 +1004,34 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
     kernel = _make_bwd_kernel(L=L, k=k, R=R, G=G, S=S, cin=cin, has_g=has_g,
                               dils=dils, Bt=Bt, E=E, Tt=Tt, dtype=dtype,
                               drop=st.drop,
-                              act_stash=st.act_stash)
+                              act_stash=st.act_stash, xs_hbm=st.xs_hbm)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec((1, 2), lambda bi, ti: (0, 0),
                              memory_space=pltpu.SMEM)
     bnd_spec = pl.BlockSpec((1, L, Bt, pad, R),
                             lambda bi, ti: (ti * stride, 0, bi, 0, 0),
                             memory_space=pltpu.VMEM)
+    if st.xs_hbm:
+        Hp = _round_up(H, 8)
+        n_head = xsh.shape[0]
+        xsf_spec = pl.BlockSpec((L, Bt, Tt, R),
+                                lambda bi, ti: (0, bi, ti, 0),
+                                memory_space=pltpu.VMEM)
+        # the halo head is the FIRST Hp rows of the NEXT backward tile =
+        # forward-tile index (ti+1)*stride; clamped at the end (the final
+        # tile's halo pairs with zero cotangents, values irrelevant)
+        xsh_spec = pl.BlockSpec(
+            (1, L, Bt, Hp, R),
+            lambda bi, ti: (jnp.minimum((ti + 1) * stride, n_head - 1),
+                            0, bi, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        xsf_spec = pl.BlockSpec((1, 1, 1, 1),
+                                lambda bi, ti: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        xsh_spec = pl.BlockSpec((1, 1, 1, 1, 1),
+                                lambda bi, ti: (0, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
 
     def tile_spec(C):
         return pl.BlockSpec((1, Bt, E, C), lambda bi, ti: (ti, bi, 0, 0),
@@ -989,16 +1091,19 @@ def _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, bnd,
         grid=(n_bt, n_tt),
         in_specs=[tile_spec(R), c_spec, gb_spec, tile_spec(S),
                   acc((1, 1, E, 1)), seed_spec, bnd_spec,
+                  xsf_spec, xsh_spec,
                   full(), full(), full(), full(), full()],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=([pltpu.VMEM((L, Bt, E, R), dtype)]
+        scratch_shapes=(([] if st.xs_hbm
+                         else [pltpu.VMEM((L, Bt, E, R), dtype)])
                         + ([pltpu.VMEM((L, Bt, E, G2), dtype),
                             pltpu.VMEM((L, Bt, E, G2), dtype)]
                            if st.act_stash else [])),
         interpret=interpret,
         compiler_params=compiler_params,
-    )(x0e, ce, gb, dske, hm, seed, bnd, w_in, b_in, w_cond, w_og, b_og)
+    )(x0e, ce, gb, dske, hm, seed, bnd, xsf, xsh,
+      w_in, b_in, w_cond, w_og, b_og)
 
     dx0t, dct, dgb, dw_in, db_in, dw_cond, dw_og, db_og = outs
     dx0 = jnp.swapaxes(dx0t, 0, 1).reshape(B, T_pad, R)[:, :T]
