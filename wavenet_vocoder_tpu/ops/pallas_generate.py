@@ -215,6 +215,13 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
     # never set GEN_KNOCKOUT in production. Read at kernel-BUILD time.
     import os as _os
     knockout = _os.environ.get("GEN_KNOCKOUT", "")
+    # GLU transcendentals in bf16: knockout ablation measured tanh+sigmoid
+    # at ~9us of the ~51us step (B=256) — the largest non-matmul component.
+    # bf16 halves the VPU element work and the product feeds a bf16 matmul
+    # anyway. Applied only when the weight pack is bf16 (f32 packs keep the
+    # f32 GLU: the cross-engine equivalence tests rely on it).
+    # GEN_GLU_BF16=0 opts out.
+    glu_bf16 = bool(int(_os.environ.get("GEN_GLU_BF16", "1")))
 
     def kernel(seed_ref,                      # SMEM (1,) or (2,): [seed, t0]
                x0_ref,                        # (B, C_in) initial/carried input
@@ -372,8 +379,13 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                     a, b = z[:, :G2], z[:, G2:]
                     # knockout "glu": one multiply instead of the two
                     # transcendentals — isolates VPU tanh/sigmoid cost
-                    gated = (a * 0.125 if knockout == "glu"
-                             else jnp.tanh(a) * jax.nn.sigmoid(b))
+                    if knockout == "glu":
+                        gated = a * 0.125
+                    elif glu_bf16 and w_og_ref.dtype == jnp.bfloat16:
+                        gated = (jnp.tanh(a.astype(jnp.bfloat16))
+                                 * jax.nn.sigmoid(b.astype(jnp.bfloat16)))
+                    else:
+                        gated = jnp.tanh(a) * jax.nn.sigmoid(b)
 
                     y = jnp.dot(gated.astype(w_og_ref.dtype), w_og_ref[li],
                                 preferred_element_type=jnp.float32)
