@@ -382,8 +382,14 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                     if knockout == "glu":
                         gated = a * 0.125
                     elif glu_bf16 and w_og_ref.dtype == jnp.bfloat16:
-                        gated = (jnp.tanh(a.astype(jnp.bfloat16))
-                                 * jax.nn.sigmoid(b.astype(jnp.bfloat16)))
+                        # sigmoid via tanh: Mosaic's bf16 `logistic`
+                        # lowering emits a mistyped vector.broadcast at
+                        # small batch (verified crash at B=1, r5); bf16
+                        # tanh lowers cleanly at every batch
+                        a16 = a.astype(jnp.bfloat16)
+                        b16 = b.astype(jnp.bfloat16)
+                        gated = jnp.tanh(a16) * (
+                            0.5 * jnp.tanh(0.5 * b16) + 0.5)
                     else:
                         gated = jnp.tanh(a) * jax.nn.sigmoid(b)
 
