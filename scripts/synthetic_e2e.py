@@ -46,16 +46,24 @@ def dominant_f0(x: np.ndarray, sr: int) -> float:
     return float(freqs[lo][np.argmax(spec[lo])])
 
 
-def mel_distance(mel_a: np.ndarray, mel_b: np.ndarray,
-                 trim: int = 4) -> float:
-    """Mean per-frame L2 distance between two log-mel spectrograms (an
-    MCD-style spectral metric; frames trimmed at both ends to skip the
-    generator's warm-up and edge effects). Robust to the sample-level
-    jitter that F0 tracking alone cannot see through, and sensitive to the
-    broadband/formant errors F0 alone cannot catch (VERDICT r4 #4)."""
+def mel_correlation(mel_a: np.ndarray, mel_b: np.ndarray,
+                    trim: int = 4) -> float:
+    """Mean per-frame Pearson correlation between two log-mel spectrograms
+    (frames trimmed to skip generator warm-up). Chosen over L2/MCD-style
+    distance because sampled audio has a broadband noise floor (~-3 log10
+    per bin from the output distribution) that clean synthetic tones lack
+    (floor -10): absolute distances measure the noise floor, correlation
+    measures the harmonic STRUCTURE. Calibrated on v5e r5 wavs: a healthy
+    MoL generation scores ~0.95 vs its target and BELOW that vs every
+    wrong-F0 decoy, while a broken rollout (4th-harmonic lock) scores ~0.5
+    and correlates better with decoys than with its own target."""
     n = min(mel_a.shape[0], mel_b.shape[0]) - trim
     a, b = mel_a[trim:n], mel_b[trim:n]
-    return float(np.mean(np.linalg.norm(a - b, axis=-1)))
+    a = a - a.mean(axis=1, keepdims=True)
+    b = b - b.mean(axis=1, keepdims=True)
+    num = (a * b).sum(axis=1)
+    den = np.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1)) + 1e-9
+    return float(np.mean(num / den))
 
 
 def main(argv=None) -> int:
@@ -68,9 +76,10 @@ def main(argv=None) -> int:
     ap.add_argument("--f0-tol", type=float, default=0.05,
                     help="relative F0-tracking tolerance (r4 ran at 0.15; "
                          "tightened per VERDICT r4 #4)")
-    ap.add_argument("--mel-tol", type=float, default=None,
-                    help="absolute log-mel distance ceiling; default is "
-                         "per-head (calibrated on v5e, see docs/VALIDATION.md)")
+    ap.add_argument("--mel-corr", type=float, default=0.90,
+                    help="minimum mean per-frame log-mel correlation of the "
+                         "generated audio vs the held-out target "
+                         "(calibrated on v5e, see docs/VALIDATION.md)")
     ap.add_argument("--fault", default="none",
                     choices=("none", "bwd_mask_tshift", "bwd_bnd_roll"),
                     help="inject a deliberate kernel fault (sets WN_FAULT "
@@ -106,15 +115,23 @@ def main(argv=None) -> int:
     sr = args.sr
     # head-specific keys mirror the three reference recipes
     # (egs/{mulaw256,mol,gaussian}/conf; reference: hparams.py:20-21, 51-52)
+    # dropout per head: mol/gaussian train with the reference WaveNet class
+    # default 0.05 (wavenet.py:102) — this exercises the fused kernels'
+    # counter-based mask end-to-end and makes the bwd_mask_tshift fault
+    # injectable — while mulaw256 matches its reference recipe's 0.0
+    # (egs/mulaw256 conf): measured on v5e, the 256-way categorical rollout
+    # needs the lower teacher-forced NLL (0.89 vs 1.16 nats at 1500 steps)
+    # or free-running locks onto a harmonic (892Hz vs the 220Hz target,
+    # identically under f32 and bf16 GLU).
     head_cfg = {
         "mulaw256": dict(input_type="mulaw-quantize", quantize_channels=256,
-                         out_channels=256),
+                         out_channels=256, dropout=0.0),
         "mol": dict(input_type="raw", quantize_channels=65536,
                     out_channels=10 * 3, output_distribution="Logistic",
-                    log_scale_min=-16.0),
+                    log_scale_min=-16.0, dropout=0.05),
         "gaussian": dict(input_type="raw", quantize_channels=65536,
                          out_channels=2, output_distribution="Normal",
-                         log_scale_min=-16.0),
+                         log_scale_min=-16.0, dropout=0.05),
     }[args.head]
     cfg = Config(
         sample_rate=sr, fft_size=512, hop_size=128, win_length=512,
@@ -124,10 +141,6 @@ def main(argv=None) -> int:
         upsample_conditional_features=True,
         upsample_params={"upsample_scales": [4, 4, 8]},
         batch_size=8, lr_schedule="", fused_train=not args.xla,
-        # dropout exercises the production kernels' counter-based mask path
-        # end-to-end (the reference WaveNet class default, wavenet.py:102)
-        # and is what makes the bwd_mask_tshift fault injectable
-        dropout=0.05,
         optimizer_params={"lr": args.lr, "eps": 1e-8, "weight_decay": 0.0},
         **head_cfg)
     spec = spec_from_config(cfg)
@@ -218,23 +231,28 @@ def main(argv=None) -> int:
     f0_gen = dominant_f0(wav[2000:], sr)
     f0_ref = dominant_f0(test_wav, sr)
     # spectral check (VERDICT r4 #4): the generated waveform's log-mel must
-    # sit close to the HELD-OUT conditioning target, and closer to it than
-    # to every decoy (other F0s from the training set) — a relative margin
-    # that catches broadband/formant corruption F0 tracking misses
-    mel_gen = dsp.logmelspectrogram(wav, cfg)
-    d_ref = mel_distance(mel_gen, test_mel)
+    # CORRELATE with the HELD-OUT conditioning target, and more strongly
+    # than with every decoy (other F0s from the training set) — a relative
+    # margin that catches broadband/harmonic corruption F0 tracking misses.
+    # The metric runs at its own finer resolution (128 mels / 1024 fft) so
+    # neighboring-F0 harmonic ladders separate.
+    mcfg = Config(sample_rate=sr, fft_size=1024, hop_size=cfg.hop_size,
+                  win_length=1024, num_mels=128, fmin=60, fmax=7600)
+    mel_gen = dsp.logmelspectrogram(wav, mcfg)
+    target_m = dsp.logmelspectrogram(test_wav, mcfg)
+    c_ref = mel_correlation(mel_gen, target_m)
     decoys = [f for f in f0s if abs(f - f0_test) > 30]
-    d_decoys = []
+    c_decoys = []
     for f in decoys:
         dec_wav = make_utterance(f, sr, 1.5, np.random.RandomState(7))
-        d_decoys.append(mel_distance(mel_gen,
-                                     dsp.logmelspectrogram(dec_wav, cfg)))
-    d_margin = min(d_decoys) / max(d_ref, 1e-6)
+        c_decoys.append(mel_correlation(
+            mel_gen, dsp.logmelspectrogram(dec_wav, mcfg)))
+    c_margin = c_ref - max(c_decoys)
     print(f"\nloss: {first:.3f} -> {final_loss:.3f}")
     print(f"held-out F0: reference {f0_ref:.1f} Hz, generated {f0_gen:.1f} Hz "
           f"({abs(f0_gen - f0_ref) / f0_ref * 100:.1f}% off)")
-    print(f"log-mel distance: to target {d_ref:.3f}, nearest decoy "
-          f"{min(d_decoys):.3f} (margin {d_margin:.2f}x)")
+    print(f"log-mel correlation: to target {c_ref:.3f}, best decoy "
+          f"{max(c_decoys):.3f} (margin {c_margin:+.3f})")
     out_wav = f"/tmp/synthetic_e2e_{args.head}_gen.wav"
     dsp.save_wav(wav, out_wav, sr)
     print(f"wrote {out_wav}")
@@ -249,24 +267,22 @@ def main(argv=None) -> int:
     else:
         ok_loss = final_loss < first * 0.5
     ok_f0 = abs(f0_gen - f0_ref) < args.f0_tol * f0_ref
-    # per-head ceilings calibrated on v5e @1500 steps (docs/VALIDATION.md
-    # r5 record): pass-with-margin for healthy kernels, fail on injected
-    # gradient faults
-    mel_tol = args.mel_tol if args.mel_tol is not None else {
-        "mulaw256": 2.4, "mol": 2.4, "gaussian": 2.6}[args.head]
-    ok_mel = d_ref < mel_tol and d_margin > 1.3
+    # calibrated on v5e @1500 steps (docs/VALIDATION.md r5 record):
+    # healthy generations score ~0.95 target-correlation with positive
+    # decoy margin; a corrupted rollout scores ~0.5 with NEGATIVE margin
+    ok_mel = c_ref >= args.mel_corr and c_margin > 0
     import json as _json
     print(_json.dumps({"head": args.head, "loss_first": round(first, 3),
                        "loss_final": round(final_loss, 3),
                        "f0_ref": round(f0_ref, 1),
                        "f0_gen": round(f0_gen, 1),
-                       "mel_dist": round(d_ref, 3),
-                       "mel_margin": round(d_margin, 2),
+                       "mel_corr": round(c_ref, 3),
+                       "mel_margin": round(c_margin, 3),
                        "fault": args.fault}))
     print(f"loss-drop check: {'PASS' if ok_loss else 'FAIL'}; "
           f"F0-tracking check ({args.f0_tol:.0%}): "
           f"{'PASS' if ok_f0 else 'FAIL'}; "
-          f"log-mel check (<{mel_tol}, margin>1.3x): "
+          f"log-mel check (corr>={args.mel_corr}, margin>0): "
           f"{'PASS' if ok_mel else 'FAIL'}")
     return 0 if (ok_loss and ok_f0 and ok_mel) else 1
 
