@@ -76,10 +76,13 @@ def main(argv=None) -> int:
     ap.add_argument("--f0-tol", type=float, default=0.05,
                     help="relative F0-tracking tolerance (r4 ran at 0.15; "
                          "tightened per VERDICT r4 #4)")
-    ap.add_argument("--mel-corr", type=float, default=0.90,
+    ap.add_argument("--mel-corr", type=float, default=None,
                     help="minimum mean per-frame log-mel correlation of the "
-                         "generated audio vs the held-out target "
-                         "(calibrated on v5e, see docs/VALIDATION.md)")
+                         "generated audio vs the held-out target; default "
+                         "per-head (v5e calibration: mol 0.952 / gaussian "
+                         "~0.93 / mulaw256 0.892 healthy vs ~0.53 broken — "
+                         "the 256-way categorical samples audibly noisier, "
+                         "so its ceiling sits lower)")
     ap.add_argument("--fault", default="none",
                     choices=("none", "bwd_mask_tshift", "bwd_bnd_roll"),
                     help="inject a deliberate kernel fault (sets WN_FAULT "
@@ -268,9 +271,12 @@ def main(argv=None) -> int:
         ok_loss = final_loss < first * 0.5
     ok_f0 = abs(f0_gen - f0_ref) < args.f0_tol * f0_ref
     # calibrated on v5e @1500 steps (docs/VALIDATION.md r5 record):
-    # healthy generations score ~0.95 target-correlation with positive
+    # healthy generations score 0.89-0.95 target-correlation with positive
     # decoy margin; a corrupted rollout scores ~0.5 with NEGATIVE margin
-    ok_mel = c_ref >= args.mel_corr and c_margin > 0
+    mel_corr_min = (args.mel_corr if args.mel_corr is not None
+                    else {"mulaw256": 0.85, "mol": 0.90,
+                          "gaussian": 0.90}[args.head])
+    ok_mel = c_ref >= mel_corr_min and c_margin > 0
     import json as _json
     print(_json.dumps({"head": args.head, "loss_first": round(first, 3),
                        "loss_final": round(final_loss, 3),
@@ -282,7 +288,7 @@ def main(argv=None) -> int:
     print(f"loss-drop check: {'PASS' if ok_loss else 'FAIL'}; "
           f"F0-tracking check ({args.f0_tol:.0%}): "
           f"{'PASS' if ok_f0 else 'FAIL'}; "
-          f"log-mel check (corr>={args.mel_corr}, margin>0): "
+          f"log-mel check (corr>={mel_corr_min}, margin>0): "
           f"{'PASS' if ok_mel else 'FAIL'}")
     return 0 if (ok_loss and ok_f0 and ok_mel) else 1
 
