@@ -95,6 +95,12 @@ def main(argv=None) -> int:
     ap.add_argument("--xla", action="store_true",
                     help="use the XLA train path + scan generation engine")
     args = ap.parse_args(argv)
+    if args.fault == "bwd_mask_tshift" and args.head == "mulaw256":
+        # the mask fault only perturbs the dropout branch, and mulaw256
+        # trains at dropout 0.0 — the run would be a silent no-op PASS
+        raise SystemExit(
+            "--fault bwd_mask_tshift needs a dropout>0 head (mol/gaussian);"
+            " mulaw256 trains at dropout 0.0 — use bwd_bnd_roll instead")
     if args.fault != "none":
         os.environ["WN_FAULT"] = args.fault
         print(f"FAULT INJECTION: WN_FAULT={args.fault} "

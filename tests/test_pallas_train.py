@@ -477,6 +477,25 @@ def test_middle_zone_config_shrinks_time_tile():
     assert bt == 1 and tt < 2048, (bt, tt)
     assert est(mid, tt) <= pt.BWD_EST_PROVEN_BYTES
     assert pt.fused_train_fits(mid, 10240)
+    # the FINAL resolution (all cross-constraints) must also keep the
+    # shrunk tile: the fwd tile's default must not round Tt_b back up past
+    # the proven boundary (r5 review finding — the Tt_f cap was gated on
+    # xs_hbm, silently re-opening the middle zone on the default path)
+    for xs in (False, True):
+        _, tt_f, bt_b, tt_b = pt.resolve_tiles(
+            32, 10240, H, mid.layers, mid.residual_channels,
+            G=mid.gate_channels, k=mid.kernel_size,
+            S=mid.skip_out_channels, cin=mid.cin_channels,
+            dils=mid.dilations, xs_hbm=xs)
+        assert est(mid, tt_b) <= pt.BWD_EST_PROVEN_BYTES or xs, (xs, tt_b)
+        assert tt_b % tt_f == 0
+    # flagship keeps its measured-optimal tiles through the full resolution
+    _, tt_f, bt_b, tt_b = pt.resolve_tiles(
+        32, 10240, H, flag.layers, flag.residual_channels,
+        G=flag.gate_channels, k=flag.kernel_size,
+        S=flag.skip_out_channels, cin=flag.cin_channels,
+        dils=flag.dilations, xs_hbm=False)
+    assert (bt_b, tt_b, tt_f) == (1, 2048, 2048), (bt_b, tt_b, tt_f)
     # explicit caller tt is respected (the tuning escape hatch)
     bt2, tt2 = pt.pick_tiles(32, 10240, H, mid.layers,
                              mid.residual_channels, None, 2048,
@@ -713,4 +732,37 @@ def test_fused_forward_value_xs_hbm_matches(monkeypatch):
     v1, g1 = val(True)
     np.testing.assert_allclose(v1, v0, rtol=1e-6)
     np.testing.assert_allclose(g1, g0, atol=2e-5, rtol=1e-5)
+    jax.clear_caches()
+
+
+def test_fused_gradients_xs_hbm_stride_and_ragged(monkeypatch):
+    """xs_hbm with backward tiles LARGER than the forward's (stride 2) and
+    T not a multiple of Tt_b: the forward must write every xsf row / xsh
+    head slot the backward reads (r5 review: the unwritten tail produced
+    NaN gradients at exactly this shape — T=96, Tt_f=32, Tt_b=64)."""
+    monkeypatch.setenv("FUSED_ACT_STASH", "0")
+    monkeypatch.setenv("FUSED_XS_HBM", "1")
+    monkeypatch.setenv("FUSED_TT", "64")
+    monkeypatch.setenv("FUSED_TT_F", "32")
+    jax.clear_caches()
+    spec = _spec()
+    blocks, x0, c = _setup(spec, T=96)
+    rs = np.random.RandomState(9)
+    w = jnp.asarray(rs.randn(2, 96, spec.skip_out_channels)
+                    .astype(np.float32))
+
+    def loss_fused(blocks, x0, c):
+        return jnp.sum(pt.fused_res_stack(
+            x0, c, blocks, spec, dtype=jnp.float32,
+            dropout=0.3, seed=SEED, interpret=True) * w)
+
+    def loss_xla(blocks, x0, c):
+        return jnp.sum(_xla_stack_masked(blocks, spec, x0, c, SEED, 0.3) * w)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(blocks, x0, c)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(blocks, x0, c)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        assert np.isfinite(np.asarray(b)).all()
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
     jax.clear_caches()

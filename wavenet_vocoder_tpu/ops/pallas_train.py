@@ -205,6 +205,41 @@ def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
     return bt, tt
 
 
+def resolve_tiles(B_loc: int, T: int, H: int, L: int, R: int, *, G: int,
+                  k: int, S: int, cin: int, dils: Tuple[int, ...],
+                  bt_b=None, tt_b=None, bt_f=None, tt_f=None,
+                  xs_hbm: bool = False) -> Tuple[int, int, int, int]:
+    """Resolve the FINAL (Bt_f, Tt_f, Bt_b, Tt_b) the kernels will use,
+    including every cross-constraint — extracted from fused_res_stack so
+    the interactions are testable without running a kernel:
+
+    * the forward carry / boundary stash needs Tt_f >= pad;
+    * the backward reads boundaries written at FORWARD tile starts, so
+      Tt_b must be a multiple of Tt_f;
+    * when Tt_b was VMEM-shrunk (the middle-zone path) the DEFAULT Tt_f is
+      capped at Tt_b first, so the multiple-of round-up cannot grow Tt_b
+      back past the proven estimate (r5 review: the cap was originally
+      gated on xs_hbm, silently re-opening the middle zone on the default
+      path);
+    * if the round-up still grew Tt_b (explicit tt_f overrides), Bt_b is
+      re-gated at the FINAL tile size (ADVICE r4)."""
+    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b, G=G,
+                            k=k, S=S, cin=cin, xs_hbm=xs_hbm)
+    Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
+    pad = max((k - 1) * d for d in dils)
+    if tt_f is None:
+        Tt_f = min(Tt_f, Tt_b)
+    Tt_f = max(Tt_f, _round_up(pad, 8))
+    Tt_b_picked = Tt_b
+    Tt_b = max(Tt_b, Tt_f)
+    if Tt_b % Tt_f:
+        Tt_b = _round_up(Tt_b, Tt_f)
+    if Tt_b != Tt_b_picked and bt_b is None:
+        Bt_b = pick_tiles(B_loc, T, H, L, R, None, Tt_b, G=G, k=k, S=S,
+                          cin=cin, xs_hbm=xs_hbm)[0]
+    return Bt_f, Tt_f, Bt_b, Tt_b
+
+
 def bwd_vmem_estimate(*, L: int, k: int, R: int, G: int, S: int, cin: int,
                       Bt: int, E: int, act_stash: bool,
                       xs_hbm: bool = False, H: int = 0) -> int:
@@ -418,6 +453,13 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
     pad = max((k - 1) * d for d in dils)
     assert Tt >= pad, (Tt, pad)
     T_pad = _round_up(T, Tt)
+    if emit_bnd and st.xs_hbm:
+        # cover the BACKWARD's padding too (Tt_b is a multiple of Tt_f, so
+        # this stays tile-aligned): every xsf row / xsh head slot the
+        # backward can read must be WRITTEN — an unwritten HBM tail is
+        # arbitrary garbage, and 0 * NaN poisons gradients even at
+        # zero-cotangent positions (r5 review finding, repro'd)
+        T_pad = _round_up(T, st.Tt_b)
     n_tt = T_pad // Tt
     n_bt = B // Bt
 
@@ -459,13 +501,10 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((n_tt, L, B, pad, R), dtype))
     if emit_xs:
-        # xs arrays are sized for the BACKWARD's padding (T rounded to
-        # Tt_b >= Tt_f): the fwd grid covers only round_up(T, Tt_f) rows;
-        # anything past pairs with zero cotangents in the backward
+        # T_pad is rounded to Tt_b above, so the grid WRITES every row and
+        # head slot the backward can read
         H_tot = stack_receptive(dils, k)
         Hp = _round_up(H_tot, 8)
-        T_pad_x = _round_up(T, st.Tt_b)
-        n_head = T_pad_x // Tt
         out_specs = out_specs + (
             pl.BlockSpec((L, Bt, Tt, R), lambda bi, ti: (0, bi, ti, 0),
                          memory_space=pltpu.VMEM),
@@ -473,8 +512,8 @@ def _fwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og, *, st,
                          lambda bi, ti: (ti, 0, bi, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shape = out_shape + (
-            jax.ShapeDtypeStruct((L, B, T_pad_x, R), dtype),
-            jax.ShapeDtypeStruct((n_head, L, B, Hp, R), dtype))
+            jax.ShapeDtypeStruct((L, B, T_pad, R), dtype),
+            jax.ShapeDtypeStruct((n_tt, L, B, Hp, R), dtype))
 
     compiler_params = None
     if not interpret:
@@ -600,30 +639,11 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     # decision below (stash path still needs phase 1).
     xs_env = _os.environ.get("FUSED_XS_HBM")
     xs_want = bool(int(xs_env)) if xs_env else XS_HBM_DEFAULT
-    Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b, G=G,
-                            k=k, S=S, cin=max(cin, -1), xs_hbm=xs_want)
-    Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
-    # the forward carry / boundary stash needs Tt >= pad, and the backward
-    # reads boundaries written at FORWARD tile starts, so its tile must be
-    # a multiple of the forward's
+    Bt_f, Tt_f, Bt_b, Tt_b = resolve_tiles(
+        B_loc, T, H, L, R, G=G, k=k, S=S, cin=max(cin, -1),
+        bt_b=bt_b, tt_b=tt_b, bt_f=bt_f, tt_f=tt_f, xs_hbm=xs_want,
+        dils=dils)
     pad = max((k - 1) * d for d in dils)
-    if xs_want and tt_f is None:
-        # keep the fwd tile <= the bwd tile so a VMEM-shrunk Tt_b is not
-        # rounded back up past the estimate (Tt_b must be a multiple of
-        # Tt_f); explicit overrides are respected
-        Tt_f = min(Tt_f, Tt_b)
-    Tt_f = max(Tt_f, _round_up(pad, 8))
-    Tt_b_picked = Tt_b
-    Tt_b = max(Tt_b, Tt_f)
-    if Tt_b % Tt_f:
-        Tt_b = _round_up(Tt_b, Tt_f)
-    if Tt_b != Tt_b_picked and bt_b is None:
-        # the round-up grew the backward tile past the size Bt_b was gated
-        # under (rows cap / VMEM estimate) — re-pick Bt at the FINAL Tt_b
-        # so env/caller Tt overrides can't re-enter the Mosaic compile
-        # cliffs with a stale Bt (ADVICE r4)
-        Bt_b = pick_tiles(B_loc, T, H, L, R, None, Tt_b, G=G, k=k, S=S,
-                          cin=max(cin, -1), xs_hbm=xs_want)[0]
 
     w_in, b_in, w_cond, w_og, b_og = pack_block_weights(
         folded_blocks, spec, dtype=dtype)
@@ -719,8 +739,9 @@ def _fused_bwd(st, res, dskips):
         xsh = jnp.zeros((1, 1, 1, 1, 1), jnp.dtype(st.dtype_name))
     grads = _bwd_call(x0, c, gb, seed, w_in, b_in, w_cond, w_og, b_og,
                       bnd, xsf, xsh, dskips.astype(jnp.float32), st=st)
-    # seed is integer-typed: its cotangent is a float0 zero
-    dseed = np.zeros((1, 1), jax.dtypes.float0)
+    # seed is integer-typed: its cotangent is a float0 zero (same shape
+    # as the (1, 2) [seed, row_offset] primal)
+    dseed = np.zeros((1, 2), jax.dtypes.float0)
     dx0, dc, dgb, dw_in, db_in, dw_cond, dw_og, db_og = grads
     return (dx0, dc, dgb, dseed, dw_in, db_in, dw_cond, dw_og, db_og)
 
@@ -759,10 +780,9 @@ def _make_bwd_kernel(*, L: int, k: int, R: int, G: int, S: int, cin: int,
     # set it before the first jitted step of the process): deliberately
     # subtle gradient bugs the quality net (scripts/quality_check.py) must
     # catch. "bwd_mask_tshift" regenerates the dropout mask one position
-    # off (fwd/bwd mask mismatch); "bwd_bnd_roll" rolls the boundary stash
-    # by one time position (off-by-one x-chain reconstruction).
-    import os as _osf
-    fault = _osf.environ.get("WN_FAULT", "")
+    # off (fwd/bwd mask mismatch; requires dropout > 0); "bwd_bnd_roll"
+    # rolls the boundary stash by one time position (any config).
+    fault = _os.environ.get("WN_FAULT", "")
 
     def kernel(x0_ref,                       # (1, Bt, E, R)  E = Tt + H
                c_ref,                        # (1, Bt, E, cin) or dummy
