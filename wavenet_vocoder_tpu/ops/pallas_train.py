@@ -185,12 +185,16 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
 def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
                    cin: int,
                    bt: Optional[int] = None,
-                   tt: Optional[int] = None) -> Tuple[int, int]:
-    """Pick (Bt, Tt) for the FORWARD kernel. No x-chain stash here (the
-    carry is only (L, Bt, pad, R)), so the batch tile is bounded by the
-    live working set per grid step (double-buffered input tiles + f32
-    skip/z temporaries), which lets it run several batch rows per tile —
-    fewer grid steps, taller matmuls."""
+                   tt: Optional[int] = None,
+                   xs_hbm: bool = False) -> Tuple[int, int]:
+    """Pick (Bt, Tt) for the FORWARD kernel. Without xs emission the batch
+    tile is bounded by the live working set per grid step (double-buffered
+    input tiles + f32 skip/z temporaries), which lets it run several batch
+    rows per tile — fewer grid steps, taller matmuls. With xs_hbm the
+    kernel ALSO streams out every layer's x_l (home tile + halo head,
+    double-buffered output blocks) — ~20MB/batch-row at flagship scale,
+    which this budget must count or the forward OOMs VMEM (measured r5:
+    136.5MB > 128MB at Bt=4)."""
     if tt is None:
         tt = min(_round_up(max(4 * H, 1024), 256), _round_up(T, 256))
     if bt is None:
@@ -198,6 +202,8 @@ def pick_tiles_fwd(B: int, T: int, H: int, L: int, R: int, G: int, S: int,
         # buffered), carry-extended tap buffer, f32 z + skips + y temporaries
         per_b = tt * (2 * 2 * (R + max(cin, 0)) + 2 * R
                       + 4 * (G + S + R + S))
+        if xs_hbm:
+            per_b += 2 * (tt + _round_up(H, 8)) * L * R * 2
         budget = 56 * 2 ** 20
         bt = max(1, min(B, budget // max(per_b, 1)))
         while B % bt:
@@ -225,7 +231,8 @@ def resolve_tiles(B_loc: int, T: int, H: int, L: int, R: int, *, G: int,
       re-gated at the FINAL tile size (ADVICE r4)."""
     Bt_b, Tt_b = pick_tiles(B_loc, T, H, L, R, bt_b, tt_b, G=G,
                             k=k, S=S, cin=cin, xs_hbm=xs_hbm)
-    Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f)
+    Bt_f, Tt_f = pick_tiles_fwd(B_loc, T, H, L, R, G, S, cin, bt_f, tt_f,
+                                xs_hbm=xs_hbm)
     pad = max((k - 1) * d for d in dils)
     if tt_f is None:
         Tt_f = min(Tt_f, Tt_b)
