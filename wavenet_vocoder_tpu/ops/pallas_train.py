@@ -80,9 +80,11 @@ FUSED_FITS_GATE_BYTES = 160 * 2 ** 20
 assert VMEM_TILE_GATE_BYTES < VMEM_COMPILE_LIMIT_BYTES
 assert VMEM_COMPILE_LIMIT_BYTES < BWD_EST_PROVEN_BYTES < FUSED_FITS_GATE_BYTES
 # default for the fwd->bwd x-chain HBM stash (FusedStatics.xs_hbm); env
-# FUSED_XS_HBM=0/1 overrides. OFF until measured faster on v5e than the
-# phase-1 recompute path (see DESIGN.md).
-XS_HBM_DEFAULT = False
+# FUSED_XS_HBM=0/1 overrides. Measured on v5e-1 (flagship, r5): B=32
+# 0.0969 s/step vs 0.1021 recompute (MFU 35.7% -> 37.7%), B=64 0.1877 vs
+# 0.1972 (37.0% -> 38.9%, 3.49M samples/s) — phase-1 elimination beats
+# the smaller Tt=1536 tile's halo cost; HBM stays ~7x under the roofline.
+XS_HBM_DEFAULT = True
 
 
 @dataclasses.dataclass(frozen=True)
