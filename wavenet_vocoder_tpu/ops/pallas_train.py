@@ -76,6 +76,13 @@ _SQRT_HALF = math.sqrt(0.5)
 VMEM_COMPILE_LIMIT_BYTES = 122 * 2 ** 20
 VMEM_TILE_GATE_BYTES = 118 * 2 ** 20
 BWD_EST_PROVEN_BYTES = 126 * 2 ** 20
+# the xs_hbm backward drops phase 1, so the estimator's body coefficient
+# (fitted to the recompute kernel's liveness) overshoots it much further:
+# est 139.5MB (flagship Tt=2048) AND est 163.4MB (Tt=2560) both compile
+# and RUN on v5e under the 122MB scoped limit (r5 measurements) — the
+# xs-path shrink boundary sits at the larger proven point so the flagship
+# keeps Tt=2048 (its fastest measured tile: 0.0883 s/step B=32).
+BWD_EST_PROVEN_XS_BYTES = 164 * 2 ** 20
 FUSED_FITS_GATE_BYTES = 160 * 2 ** 20
 assert VMEM_TILE_GATE_BYTES < VMEM_COMPILE_LIMIT_BYTES
 assert VMEM_COMPILE_LIMIT_BYTES < BWD_EST_PROVEN_BYTES < FUSED_FITS_GATE_BYTES
@@ -172,14 +179,17 @@ def pick_tiles(B: int, T: int, H: int, L: int, R: int,
             # middle-zone configs (estimate above the PROVEN boundary even
             # at Bt=1): the estimate is ~linear in E = tt + H, so shrink
             # the time tile until it is back at a proven-to-compile size.
-            # The flagship (est 124.6MB at its measured-optimal Tt=2048)
-            # sits just under the boundary and is untouched. The caller
-            # may round tt back up to pad — the irreducible floor — in
-            # which case the loose fused_train_fits gate decides.
+            # The flagship (est 124.6MB recompute / 139.5MB xs at its
+            # measured-optimal Tt=2048) sits just under the respective
+            # boundary and is untouched. The caller may round tt back up
+            # to pad — the irreducible floor — in which case the loose
+            # fused_train_fits gate decides.
+            proven = (BWD_EST_PROVEN_XS_BYTES if xs_hbm
+                      else BWD_EST_PROVEN_BYTES)
             while tt > 256 and bwd_vmem_estimate(
                     L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=1, E=tt + H,
                     act_stash=False, xs_hbm=xs_hbm,
-                    H=H) > BWD_EST_PROVEN_BYTES:
+                    H=H) > proven:
                 tt -= 256
     return bt, tt
 
