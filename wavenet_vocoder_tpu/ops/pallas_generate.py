@@ -215,13 +215,20 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
     # never set GEN_KNOCKOUT in production. Read at kernel-BUILD time.
     import os as _os
     knockout = _os.environ.get("GEN_KNOCKOUT", "")
-    # GLU transcendentals in bf16: knockout ablation measured tanh+sigmoid
-    # at ~9us of the ~51us step (B=256) — the largest non-matmul component.
-    # bf16 halves the VPU element work and the product feeds a bf16 matmul
-    # anyway. Applied only when the weight pack is bf16 (f32 packs keep the
-    # f32 GLU: the cross-engine equivalence tests rely on it).
-    # GEN_GLU_BF16=0 opts out.
-    glu_bf16 = bool(int(_os.environ.get("GEN_GLU_BF16", "1")))
+    # GLU cost knobs — the knockout ablation measured tanh+sigmoid at ~9us
+    # of the ~51us step (B=256), the largest non-matmul component.
+    # GEN_GLU_BF16=1: evaluate both in bf16 (sigmoid via tanh — Mosaic's
+    #   bf16 logistic mis-lowers at B=1). MEASURED SLOWER on v5e (min-of-8
+    #   1.165s vs 1.018s f32 at B=256): VPU transcendental rate is not
+    #   dtype-halved and the extra tanh + casts cost more than they save.
+    #   Kept as a knob; default off.
+    # GEN_GLU_EXP=1 (default): one-divide algebra — tanh(a)*sigmoid(b) =
+    #   (e^{2a}-1) / ((e^{2a}+1)(1+e^{-b})), fusing the two implicit
+    #   divides into one (2 exp + 1 div + clamps vs 2 exp + 2 div).
+    #   Applied only on the bf16 production pack; f32 packs keep the
+    #   canonical f32 GLU for the cross-engine equivalence tests.
+    glu_bf16 = bool(int(_os.environ.get("GEN_GLU_BF16", "0")))
+    glu_exp = bool(int(_os.environ.get("GEN_GLU_EXP", "1")))
 
     def kernel(seed_ref,                      # SMEM (1,) or (2,): [seed, t0]
                x0_ref,                        # (B, C_in) initial/carried input
@@ -390,6 +397,13 @@ def _make_kernel(spec: WaveNetSpec, *, B: int, chunk: int, has_cond: bool,
                         b16 = b.astype(jnp.bfloat16)
                         gated = jnp.tanh(a16) * (
                             0.5 * jnp.tanh(0.5 * b16) + 0.5)
+                    elif glu_exp and w_og_ref.dtype == jnp.bfloat16:
+                        # one-divide algebra (see knob comment); clamps
+                        # keep exp finite — tanh/sigmoid saturate to 1 in
+                        # f32 far below the clamp points
+                        u = jnp.exp(2.0 * jnp.clip(a, -15.0, 15.0))
+                        v = jnp.exp(jnp.clip(-b, -30.0, 30.0))
+                        gated = (u - 1.0) / ((u + 1.0) * (1.0 + v))
                     else:
                         gated = jnp.tanh(a) * jax.nn.sigmoid(b)
 
