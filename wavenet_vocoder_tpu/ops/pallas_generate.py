@@ -692,7 +692,13 @@ class PallasGenerator:
         ring = total_rows * B * spec.residual_channels * itm
         cond = 0
         if spec.has_local_conditioning:
-            cond = 2 * chunk * B * spec.cin_channels * itm
+            # VMEM windows are lane-padded to 128 on the minor dim —
+            # cin=80 costs 128 lanes per position (measured at B=512: the
+            # double-buffered cond window allocated 64MB where the
+            # unpadded math said 42MB, pushing the kernel 1.5MB past
+            # physical VMEM)
+            cin_lanes = -(-spec.cin_channels // 128) * 128
+            cond = 2 * chunk * B * cin_lanes * itm
         out = 2 * chunk * B * 4
         return wbytes + ring + cond + out
 
