@@ -682,24 +682,31 @@ class PallasGenerator:
 
     def estimate_vmem_bytes(self, B: int) -> int:
         """Rough VMEM footprint: packed weights + ring buffers + double-
-        buffered cond chunks + head/out — used to pick batch/chunk sizes."""
+        buffered cond chunks + head/out — used to pick batch/chunk sizes.
+
+        Every window's minor dim is LANE-padded to 128 and the
+        second-minor to 8 sublanes — cin=80 costs 128 lanes per position
+        (measured at B=512: the double-buffered cond window allocated
+        64MB where unpadded math said 42MB, pushing the kernel 1.55MB
+        past physical VMEM into a Mosaic compile error)."""
         spec, chunk = self.spec, self.chunk
+
+        def lanes(n):
+            return -(-n // 128) * 128
+
+        def subl(n):
+            return -(-n // 8) * 8
+
         wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                      for a in jax.tree.leaves(self.packed))
         _, total_rows = buffer_layout(spec)
         wref = self.packed.get("w_in", self.packed.get("w_old"))
         itm = wref.dtype.itemsize
-        ring = total_rows * B * spec.residual_channels * itm
+        ring = total_rows * subl(B) * lanes(spec.residual_channels) * itm
         cond = 0
         if spec.has_local_conditioning:
-            # VMEM windows are lane-padded to 128 on the minor dim —
-            # cin=80 costs 128 lanes per position (measured at B=512: the
-            # double-buffered cond window allocated 64MB where the
-            # unpadded math said 42MB, pushing the kernel 1.5MB past
-            # physical VMEM)
-            cin_lanes = -(-spec.cin_channels // 128) * 128
-            cond = 2 * chunk * B * cin_lanes * itm
-        out = 2 * chunk * B * 4
+            cond = 2 * chunk * subl(B) * lanes(spec.cin_channels) * itm
+        out = 2 * subl(chunk) * lanes(B) * 4
         return wbytes + ring + cond + out
 
     def __call__(self, rng, *, T: Optional[int] = None,

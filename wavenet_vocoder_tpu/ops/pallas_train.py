@@ -83,14 +83,19 @@ BWD_EST_PROVEN_BYTES = 126 * 2 ** 20
 # xs-path shrink boundary sits at the larger proven point so the flagship
 # keeps Tt=2048 (its fastest measured tile: 0.0883 s/step B=32).
 BWD_EST_PROVEN_XS_BYTES = 164 * 2 ** 20
+# FUSED_FITS_GATE gates the RECOMPUTE path only: a config whose xs
+# estimate cannot reach the xs proven boundary falls back to the
+# recompute kernel at runtime (fused_res_stack), so the fits decision is
+# always judged against the kernel that would actually run as fallback.
 FUSED_FITS_GATE_BYTES = 160 * 2 ** 20
 assert VMEM_TILE_GATE_BYTES < VMEM_COMPILE_LIMIT_BYTES
 assert VMEM_COMPILE_LIMIT_BYTES < BWD_EST_PROVEN_BYTES < FUSED_FITS_GATE_BYTES
+assert BWD_EST_PROVEN_BYTES < BWD_EST_PROVEN_XS_BYTES
 # default for the fwd->bwd x-chain HBM stash (FusedStatics.xs_hbm); env
-# FUSED_XS_HBM=0/1 overrides. Measured on v5e-1 (flagship, r5): B=32
-# 0.0969 s/step vs 0.1021 recompute (MFU 35.7% -> 37.7%), B=64 0.1877 vs
-# 0.1972 (37.0% -> 38.9%, 3.49M samples/s) — phase-1 elimination beats
-# the smaller Tt=1536 tile's halo cost; HBM stays ~7x under the roofline.
+# FUSED_XS_HBM=0/1 overrides. Measured on v5e-1 (flagship, r5, final
+# Tt=2048 tiles): B=32 0.0883 s/step vs 0.1021 recompute (MFU 35.7% ->
+# 41.3%), B=64 0.1691 vs 0.1972 (37.0% -> 43.2%, 3.87M samples/s); HBM
+# stays ~7x under the roofline.
 XS_HBM_DEFAULT = True
 
 
@@ -653,14 +658,15 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
     bt_f = Bt if Bt is not None else (_env("FUSED_BT_F") or _env("FUSED_BT"))
     tt_f = Tt if Tt is not None else (_env("FUSED_TT_F") or _env("FUSED_TT"))
     # xs_hbm: ship the x-chain fwd->bwd through HBM so backward phase 1
-    # vanishes (VERDICT r4 #6). Intent is resolved BEFORE tile picking (the
-    # DMA windows change the VMEM estimate); finalized after the act-stash
-    # decision below (stash path still needs phase 1).
+    # vanishes (VERDICT r4 #6). Tiles are first resolved on the RECOMPUTE
+    # path (the act-stash decision and every fallback must run on tiles
+    # proven for THAT kernel, r5 review); if xs engages, they are
+    # re-resolved under the xs estimate further below.
     xs_env = _os.environ.get("FUSED_XS_HBM")
     xs_want = bool(int(xs_env)) if xs_env else XS_HBM_DEFAULT
     Bt_f, Tt_f, Bt_b, Tt_b = resolve_tiles(
         B_loc, T, H, L, R, G=G, k=k, S=S, cin=max(cin, -1),
-        bt_b=bt_b, tt_b=tt_b, bt_f=bt_f, tt_f=tt_f, xs_hbm=xs_want,
+        bt_b=bt_b, tt_b=tt_b, bt_f=bt_f, tt_f=tt_f, xs_hbm=False,
         dils=dils)
     pad = max((k - 1) * d for d in dils)
 
@@ -704,8 +710,27 @@ def fused_res_stack(x0: jnp.ndarray, c: Optional[jnp.ndarray],
             act_stash=True) <= VMEM_TILE_GATE_BYTES
 
     # xs_hbm finalization: only on the no-act-stash path (the stash needs
-    # phase 1 to fill it), and the per-fwd-tile head must fit its tile
-    xs_hbm = bool(xs_want and not act_stash and Tt_f >= _round_up(H, 8))
+    # phase 1 to fill it). When it engages, RE-resolve the tiles under the
+    # xs estimate and its own proven boundary; if the xs estimate cannot
+    # reach that envelope (or the per-fwd-tile halo head does not fit),
+    # fall back to the recompute kernel on the tiles already proven for it
+    # — no kernel variant ever runs on tiles gated for the other one.
+    xs_hbm = bool(xs_want and not act_stash)
+    if xs_hbm:
+        tiles_xs = resolve_tiles(
+            B_loc, T, H, L, R, G=G, k=k, S=S, cin=max(cin, -1),
+            bt_b=bt_b, tt_b=tt_b, bt_f=bt_f, tt_f=tt_f, xs_hbm=True,
+            dils=dils)
+        est_xs = bwd_vmem_estimate(
+            L=L, k=k, R=R, G=G, S=S, cin=cin, Bt=tiles_xs[2],
+            E=tiles_xs[3] + H, act_stash=False, xs_hbm=True, H=H)
+        if (tiles_xs[1] >= _round_up(H, 8)
+                and (est_xs <= BWD_EST_PROVEN_XS_BYTES
+                     or tt_b is not None)):
+            Bt_f, Tt_f, Bt_b, Tt_b = tiles_xs
+            E_b = Tt_b + H
+        else:
+            xs_hbm = False
     st = FusedStatics(L=L, k=k, R=R, G=G, S=S,
                       cin=(cin if c is not None else -1), has_g=has_g,
                       dils=dils, Bt_f=Bt_f, Tt_f=Tt_f, Bt_b=Bt_b, Tt_b=Tt_b,
